@@ -1,0 +1,242 @@
+"""Gradient engines (reference src/eval_grad_discrete_adjoint.jl,
+eval_grad_forced.jl, eval_grad_finite_difference.jl, eval_hessian.jl).
+
+Four independent routes to the gradient of the discretized objective, which
+must agree to the reference's test tolerances
+(test/GradientTests/compare_gradients.jl:47-48: adjoint-vs-forced 1e-14,
+vs finite differences 1e-9):
+
+1. ``discrete_adjoint`` (default ``method="ad"``): reverse-mode AD through
+   the ``lax.scan`` propagator. The VJP of the per-step LU solve is exactly
+   the transposed-LHS adjoint solve, so this *is* the reference's discrete
+   adjoint algorithm, derived by the compiler instead of by hand.
+2. ``discrete_adjoint(method="lagrange")``: the hand-structured version —
+   explicit guard forcing, terminal-condition solve, backward lambda sweep
+   (qgd_tpu/forward.eval_adjoint), and per-step gradient accumulation
+   ``sum_n lambda_{n+1}^T d/dtheta [RHS_n w_n - LHS_{n+1} w_{n+1}]`` (the
+   reference's ``accumulate_gradient!``/``recursive_magic!``,
+   src/eval_grad_discrete_adjoint.jl:582-726, with the chain rule through
+   the control tables done by per-step VJP instead of hand recursion).
+   Kept as a structural cross-check of (1).
+3. ``eval_grad_forced``: forward-mode AD (jacfwd), one tangent per control
+   parameter — mathematically the reference's forced/GOAT method
+   (src/eval_grad_forced.jl): the jvp tangent state satisfies the forced
+   variational equation with forcing ``(dA/dtheta_k) w``.
+4. ``eval_grad_finite_difference``: central differences
+   (src/eval_grad_finite_difference.jl, default eps 1e-5).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .controls import as_control_tuple, control_tables_at, total_control_parameters
+from .forward import eval_forward, eval_adjoint, _time_grid
+from .objective import (
+    objective_value,
+    objective_parts,
+    terminal_cost,
+    _realify_target,
+)
+from .ops.hermite import (
+    assemble_generator_stack,
+    scaled_derivatives,
+    build_rhs,
+    build_lhs,
+)
+from .ops.linalg import stage_solve_transposed
+
+
+def _objective_fn(prob, controls, pcof, target, order, cost_type):
+    return objective_value(prob, controls, pcof, target, order,
+                           ridge_penalty_strength=0.0, cost_type=cost_type)
+
+
+@partial(jax.jit, static_argnames=("order", "cost_type", "method"))
+def discrete_adjoint(prob, controls, pcof, target, order: int = 2,
+                     cost_type: str = "Infidelity", method: str = "ad"):
+    """Exact gradient of (terminal cost + guard penalty) w.r.t. pcof
+    (reference ``discrete_adjoint``, src/eval_grad_discrete_adjoint.jl:83-160;
+    ridge gradient is added by the optimizer, as in the reference,
+    src/ipopt_optimal_control.jl:311)."""
+    controls = as_control_tuple(controls)
+    pcof = jnp.asarray(pcof, dtype=jnp.float64)
+    if method == "ad":
+        return jax.grad(
+            lambda pc: _objective_fn(prob, controls, pc, target, order,
+                                     cost_type)
+        )(pcof)
+    if method == "lagrange":
+        return _discrete_adjoint_lagrange(prob, controls, pcof, target, order,
+                                          cost_type)
+    raise ValueError(f"unknown method {method!r}")
+
+
+def compute_guard_forcing(prob, history):
+    """Adjoint source from the guard penalty: ``dJ_guard/dw_n =
+    (2 dt/T) tau_n W w_n`` with trapezoid weights ``tau`` (reference
+    ``compute_guard_forcing!``, src/eval_grad_discrete_adjoint.jl:732-752,
+    modulo the reference's opposite lambda sign convention).
+
+    ``history``: (nsteps+1, 2N, B). Returns the same shape.
+    """
+    dt = prob.tf / prob.nsteps
+    W = prob.guard_subspace_projector
+    f = jnp.einsum("ab,tbj->taj", W, history) * (2.0 * dt / prob.tf)
+    n = f.shape[0]
+    weights = jnp.ones(n, dtype=f.dtype).at[0].set(0.5).at[-1].set(0.5)
+    return f * weights[:, None, None]
+
+
+@partial(jax.jit, static_argnames=("order", "cost_type"))
+def compute_terminal_condition(prob, controls, pcof, target, final_state,
+                               order: int = 2, cost_type: str = "Infidelity",
+                               forcing=None):
+    """Solve ``LHS(t_f)^T lambda_N = dJ/dw_N (+ forcing)`` (reference
+    ``compute_terminal_condition``, src/eval_grad_discrete_adjoint.jl:1-67,
+    which uses GMRES on the adjoint derivative recursion; here a direct
+    transposed dense solve).
+
+    Sign convention: lambda is the gradient-of-cost adjoint (d(total J)/d...),
+    the negative of the reference's descent-direction lambda; the reference's
+    ``-(final - target)`` etc. appear here without the minus.
+    """
+    controls = as_control_tuple(controls)
+    m = order // 2
+    dt, ts = _time_grid(prob)
+    target_real = _realify_target(prob, target)
+    g = jax.grad(
+        lambda w: terminal_cost(w, target_real, prob.N_ess_levels, cost_type)
+    )(final_state)
+    if forcing is not None:
+        g = g + forcing
+    p_vals, q_vals = control_tables_at(controls, pcof, prob.tf, m)
+    A = assemble_generator_stack(prob, p_vals, q_vals, m)
+    eye = jnp.eye(prob.real_system_size, dtype=jnp.float64)
+    D = scaled_derivatives(A, eye, m)
+    lhs_mat = build_lhs(D, dt, m)
+    return stage_solve_transposed(lhs_mat, g)
+
+
+def _step_residual(prob, controls, pcof, t_n, t_np1, dt, w_n, w_np1, m):
+    """``RHS_n(theta) w_n - LHS_{n+1}(theta) w_{n+1}`` as a function of pcof."""
+    p_n, q_n = control_tables_at(controls, pcof, t_n, m)
+    p_np1, q_np1 = control_tables_at(controls, pcof, t_np1, m)
+    A_n = assemble_generator_stack(prob, p_n, q_n, m)
+    A_np1 = assemble_generator_stack(prob, p_np1, q_np1, m)
+    rhs = build_rhs(scaled_derivatives(A_n, w_n, m), dt, m)
+    lhs = build_lhs(scaled_derivatives(A_np1, w_np1, m), dt, m)
+    return rhs - lhs
+
+
+def _discrete_adjoint_lagrange(prob, controls, pcof, target, order, cost_type):
+    """Hand-structured discrete adjoint; see module docstring item (2)."""
+    m = order // 2
+    dt, ts = _time_grid(prob)
+
+    # (1) forward history (src/eval_grad_discrete_adjoint.jl:130)
+    history = eval_forward(prob, controls, pcof, order)
+
+    # (2) guard forcing (:134)
+    forcing = compute_guard_forcing(prob, history)
+
+    # (3) terminal condition (:138)
+    lam_N = compute_terminal_condition(
+        prob, controls, pcof, target, history[-1], order, cost_type,
+        forcing=forcing[-1])
+
+    # (4) backward lambda sweep (:144)
+    lam_hist = eval_adjoint(prob, controls, pcof, lam_N, order,
+                            forcing=forcing)
+
+    # (5) gradient accumulation (:150-158): per-step VJP of the residual,
+    # contracted with lambda_{n+1}; summed by scan.
+    def accum(carry, xs):
+        t_n, t_np1, w_n, w_np1, lam_np1 = xs
+        _, vjp = jax.vjp(
+            lambda pc: _step_residual(prob, controls, pc, t_n, t_np1, dt,
+                                      w_n, w_np1, m),
+            pcof)
+        (g,) = vjp(lam_np1)
+        return carry + g, None
+
+    init = jnp.zeros_like(pcof)
+    xs = (ts[:-1], ts[1:], history[:-1], history[1:], lam_hist[1:])
+    # lambda enters with a minus: J includes the constraint
+    # LHS w_{n+1} - RHS w_n = 0 with multiplier -lambda (see adjoint.py
+    # docstring derivation); equivalently dJ/dtheta = +sum lambda^T d(residual).
+    grad, _ = jax.lax.scan(accum, init, xs)
+    return grad
+
+
+@partial(jax.jit, static_argnames=("order", "cost_type", "return_forcing"))
+def eval_grad_forced(prob, controls, pcof, target, order: int = 2,
+                     cost_type: str = "Infidelity",
+                     return_forcing: bool = False):
+    """Forced/GOAT gradient: forward-mode differentiation of the discrete
+    scheme, one tangent solve per parameter (reference ``eval_grad_forced``,
+    src/eval_grad_forced.jl:18-195 — its explicitly-built forcing arrays
+    ``(dA/dtheta_k) w`` are exactly the jvp tangents of this computation)."""
+    controls = as_control_tuple(controls)
+    pcof = jnp.asarray(pcof, dtype=jnp.float64)
+    return jax.jacfwd(
+        lambda pc: _objective_fn(prob, controls, pc, target, order, cost_type)
+    )(pcof)
+
+
+def eval_grad_finite_difference(prob, controls, pcof, target, order: int = 2,
+                                dpcof: float = 1e-5,
+                                cost_type: str = "Infidelity"):
+    """Central-difference gradient (reference
+    ``eval_grad_finite_difference``, src/eval_grad_finite_difference.jl:16-72)."""
+    controls = as_control_tuple(controls)
+    pcof = np.asarray(pcof, dtype=np.float64)
+    grad = np.zeros_like(pcof)
+    f = jax.jit(lambda pc: _objective_fn(prob, controls, pc, target, order,
+                                         cost_type))
+    for i in range(pcof.size):
+        pp = pcof.copy()
+        pp[i] += dpcof
+        fr = float(f(jnp.asarray(pp)))
+        pp[i] -= 2 * dpcof
+        fl = float(f(jnp.asarray(pp)))
+        grad[i] = (fr - fl) / (2 * dpcof)
+    return jnp.asarray(grad)
+
+
+def eval_hessian(prob, controls, pcof, target, order: int = 2,
+                 cost_type: str = "Infidelity", method: str = "ad"):
+    """Hessian of the objective. ``method="ad"`` uses exact forward-over-
+    reverse AD (an upgrade over the reference's finite-difference Hessian);
+    ``method="fd"`` reproduces the reference's central-difference scheme
+    (src/eval_hessian.jl:1-58)."""
+    controls = as_control_tuple(controls)
+    pcof = jnp.asarray(pcof, dtype=jnp.float64)
+    fn = lambda pc: _objective_fn(prob, controls, pc, target, order, cost_type)
+    if method == "ad":
+        return jax.jacfwd(jax.grad(fn))(pcof)
+    if method == "fd":
+        eps = 1e-4
+        n = pcof.shape[0]
+        f = jax.jit(fn)
+        H = np.zeros((n, n))
+        pc = np.asarray(pcof)
+        for i in range(n):
+            for j in range(i, n):
+                pij = pc.copy()
+                pij[i] += eps
+                pij[j] += eps
+                fpp = float(f(jnp.asarray(pij)))
+                pij[j] -= 2 * eps
+                fpm = float(f(jnp.asarray(pij)))
+                pij[i] -= 2 * eps
+                fmm = float(f(jnp.asarray(pij)))
+                pij[j] += 2 * eps
+                fmp = float(f(jnp.asarray(pij)))
+                H[i, j] = H[j, i] = (fpp - fpm - fmp + fmm) / (4 * eps * eps)
+        return jnp.asarray(H)
+    raise ValueError(f"unknown method {method!r}")

@@ -1,0 +1,89 @@
+"""Carrier-wave wrapper: any base control modulated by a set of carrier
+frequencies (reference ``CarrierControl``, src/Controls/CarrierControl.jl).
+
+With complex envelope ``e_f(t) = p_f(t) + i q_f(t)`` (one base-control
+parameter block per frequency) and carrier ``c_f(t) = exp(i w_f t)``, the
+wrapped pulse is ``P + iQ = sum_f e_f(t) c_f(t)`` — this reproduces the
+reference's k=0 case (CarrierControl.jl:100-117)::
+
+    P = sum_f [ p_f cos(w t) - q_f sin(w t) ]
+    Q = sum_f [ p_f sin(w t) + q_f cos(w t) ]
+
+Scaled derivative tables follow by the Cauchy-product rule on scaled Taylor
+coefficients (the reference's explicit binomial product rule,
+CarrierControl.jl:94-146, in coefficient form)::
+
+    (e c)^{(k)}/k! = sum_{j<=k} (e^{(j)}/j!) ((i w)^{k-j}/(k-j)!) c
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+
+from .base import Control
+
+
+def _static():
+    return field(metadata=dict(static=True))
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class _Carrier(Control):
+    base_control: Control
+    carrier_frequencies: jnp.ndarray  # (N_freq,)
+    N_freq: int = _static()
+
+    @property
+    def N_coeffs_per_frequency(self) -> int:
+        return self.base_control.N_coeff
+
+    def _tables(self, t, pcof, m: int):
+        """(P_table, Q_table) each (m,)."""
+        npc = self.base_control.N_coeff
+        ks = jnp.arange(m)
+        fact = jnp.asarray([math.factorial(k) for k in range(m)],
+                           dtype=jnp.float64)
+        P = jnp.zeros((m,), dtype=jnp.float64)
+        Q = jnp.zeros((m,), dtype=jnp.float64)
+        for f in range(self.N_freq):
+            w = self.carrier_frequencies[f]
+            local = jax.lax.dynamic_slice(pcof, (f * npc,), (npc,))
+            env = (self.base_control.p_derivatives(t, local, m)
+                   + 1j * self.base_control.q_derivatives(t, local, m))
+            carrier = (1j * w) ** ks / fact * jnp.exp(1j * w * t)
+            # scaled-coefficient Cauchy product, truncated at m terms
+            full = jnp.convolve(env, carrier)[:m]
+            P = P + jnp.real(full)
+            Q = Q + jnp.imag(full)
+        return P, Q
+
+    def p(self, t, pcof):
+        return self._tables(t, pcof, 1)[0][0]
+
+    def q(self, t, pcof):
+        return self._tables(t, pcof, 1)[1][0]
+
+    def p_derivatives(self, t, pcof, m: int):
+        return self._tables(t, pcof, m)[0]
+
+    def q_derivatives(self, t, pcof, m: int):
+        return self._tables(t, pcof, m)[1]
+
+
+def CarrierControl(base_control: Control, carrier_frequencies):
+    """Wrap ``base_control`` with carrier waves; pcof is one base-control
+    block per frequency, concatenated (CarrierControl.jl:12-31)."""
+    freqs = jnp.asarray(carrier_frequencies, dtype=jnp.float64)
+    n_freq = int(freqs.shape[0])
+    return _Carrier(
+        N_coeff=base_control.N_coeff * n_freq,
+        tf=base_control.tf,
+        base_control=base_control,
+        carrier_frequencies=freqs,
+        N_freq=n_freq,
+    )

@@ -1,0 +1,216 @@
+"""Forward and adjoint propagation of the implicit Hermite scheme.
+
+TPU-native redesign of the reference's propagators
+(src/forward_evolution.jl):
+
+* The time loop is a ``lax.scan``; every step does a *batched* dense linear
+  solve ``LHS(t_{n+1}) W_{n+1} = RHS-vector`` over all initial-condition
+  columns (and any extra batch axes) at once. The reference instead runs
+  per-initial-condition GMRES iterations inside Julia threads
+  (src/forward_evolution.jl:33-70, 142-220); a dense LU is exact, has static
+  shapes, runs on the MXU, and removes the preconditioner machinery
+  (src/preconditioners.jl) along with GMRES-iteration data dependence.
+* Control derivative tables for the whole timestep grid are precomputed in
+  one vectorized pass (they are pcof-dependent but state-independent), so
+  the scan consumes tiny ``(nsteps+1, m, N_ops)`` tensors.
+* Everything is pure and differentiable: ``jax.grad`` through this scan *is*
+  the reference's discrete adjoint (see qgd_tpu/adjoint.py). Each step is
+  wrapped in ``jax.checkpoint`` so reverse-mode stores only the state
+  history, recomputing step internals — the recompute-vs-store trade the
+  reference never had to make because it kept all histories in RAM
+  (src/eval_grad_discrete_adjoint.jl:94-96).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .controls import control_tables, as_control_tuple
+from .ops.hermite import (
+    assemble_generator_stack,
+    scaled_derivatives,
+    adjoint_scaled_derivatives,
+    build_rhs,
+    build_lhs,
+)
+from .ops.linalg import stage_solve, stage_solve_transposed
+
+
+def _time_grid(prob):
+    dt = prob.tf / prob.nsteps
+    ts = jnp.arange(prob.nsteps + 1, dtype=jnp.float64) * dt
+    return dt, ts
+
+
+def _hermite_step(prob, m, dt, w, pq_n, pq_np1, forcing_n, forcing_np1):
+    """One Hermite-Obreshkov step ``w_n -> w_{n+1}``.
+
+    ``pq_* = (P, Q)`` control tables ``(m, N_ops)`` at the two endpoints;
+    ``forcing_*`` optional ``(m, 2N, B)`` scaled forcing derivatives.
+    Returns ``(w_{n+1}, W_derivs_at_t_n)``.
+    """
+    A_n = assemble_generator_stack(prob, pq_n[0], pq_n[1], m)
+    A_np1 = assemble_generator_stack(prob, pq_np1[0], pq_np1[1], m)
+
+    Ws = scaled_derivatives(A_n, w, m, forcing=forcing_n)
+    rhs = build_rhs(Ws, dt, m)
+
+    eye = jnp.eye(prob.real_system_size, dtype=w.dtype)
+    D = scaled_derivatives(A_np1, eye, m)
+    lhs_mat = build_lhs(D, dt, m)
+
+    if forcing_np1 is not None:
+        # Implicit-side forcing: derivatives at t_{n+1} are affine in w_{n+1},
+        # w^{(j)} = D_j w + g_j with g from the zero-state forced recursion;
+        # move the g-part to the RHS (reference src/forward_evolution.jl:195-206).
+        G = scaled_derivatives(A_np1, jnp.zeros_like(w), m, forcing=forcing_np1)
+        rhs = rhs - build_lhs(G, dt, m)
+
+    w_next = stage_solve(lhs_mat, rhs)
+    return w_next, Ws
+
+
+@partial(jax.jit, static_argnames=("order", "remat"))
+def hermite_forward_history(prob, controls, pcof, order: int = 2,
+                            forcing=None, remat: bool = True):
+    """Propagate all initial conditions through ``prob.nsteps`` steps.
+
+    Returns the state history ``(nsteps+1, 2N, B)`` (time-major; index 0 is
+    the initial state). ``forcing``, if given, has shape
+    ``(nsteps+1, m, 2N, B)`` holding scaled forcing derivatives
+    ``f^{(j)}(t_n)/j!`` on the time grid.
+    """
+    controls = as_control_tuple(controls)
+    m = order // 2
+    dt, ts = _time_grid(prob)
+    P, Q = control_tables(controls, pcof, ts, m)
+    w0 = prob.w0
+
+    def step(w, xs):
+        if forcing is None:
+            pq_n, pq_np1 = xs
+            f_n = f_np1 = None
+        else:
+            pq_n, pq_np1, f_n, f_np1 = xs
+        w_next, _ = _hermite_step(prob, m, dt, w, pq_n, pq_np1, f_n, f_np1)
+        return w_next, w_next
+
+    if remat:
+        step = jax.checkpoint(step)
+
+    xs = ((P[:-1], Q[:-1]), (P[1:], Q[1:]))
+    if forcing is not None:
+        xs = xs + (forcing[:-1], forcing[1:])
+    _, traj = jax.lax.scan(step, w0, xs)
+    return jnp.concatenate([w0[None], traj], axis=0)
+
+
+def _derivatives_on_grid(prob, controls, pcof, ts, states, order: int,
+                         forcing=None):
+    """Scaled-derivative stacks ``(T, m+1, 2N, B)`` at given times/states —
+    used to emit reference-parity histories with derivative columns
+    (reference stores them per saved step, src/forward_evolution.jl:163-179)."""
+    m = order // 2
+    P, Q = control_tables(controls, pcof, ts, m)
+
+    def one(p, q, w, f):
+        A = assemble_generator_stack(prob, p, q, m)
+        return scaled_derivatives(A, w, m, forcing=f)
+
+    if forcing is None:
+        return jax.vmap(lambda p, q, w: one(p, q, w, None))(P, Q, states)
+    return jax.vmap(one)(P, Q, states, forcing)
+
+
+@partial(jax.jit, static_argnames=("order", "save_every", "return_derivatives"))
+def eval_forward(prob, controls, pcof, order: int = 2, *, save_every: int = 1,
+                 forcing=None, return_derivatives: bool = False):
+    """Forward evolution (reference ``eval_forward``,
+    src/forward_evolution.jl:15-70).
+
+    Returns the real-stacked state history:
+
+    * ``return_derivatives=False`` (default): ``(n_saved, 2N, B)``
+    * ``return_derivatives=True``: ``(n_saved, m+1, 2N, B)`` including the
+      scaled-derivative columns the reference stores
+      (``uv_matrix`` layout, transposed to time-major).
+
+    ``save_every`` mirrors ``saveEveryNsteps`` (src/forward_evolution.jl:22);
+    ``nsteps`` must be divisible by it.
+    """
+    controls = as_control_tuple(controls)
+    if prob.nsteps % save_every != 0:
+        raise ValueError("nsteps must be divisible by save_every")
+    hist = hermite_forward_history(prob, controls, pcof, order, forcing=forcing)
+    saved = hist[::save_every]
+    if not return_derivatives:
+        return saved
+    dt, ts = _time_grid(prob)
+    ts_saved = ts[::save_every]
+    f_saved = None if forcing is None else forcing[::save_every]
+    return _derivatives_on_grid(prob, controls, pcof, ts_saved, saved, order,
+                                forcing=f_saved)
+
+
+def eval_forward_complex(prob, controls, pcof, order: int = 2, **kwargs):
+    """Complex-valued history ``(n_saved, N, B)`` (reference complex wrapper,
+    src/forward_evolution.jl:15-29)."""
+    hist = eval_forward(prob, controls, pcof, order, **kwargs)
+    N = prob.N_tot_levels
+    return hist[..., :N, :] + 1j * hist[..., N:, :]
+
+
+@partial(jax.jit, static_argnames=("order",))
+def eval_adjoint(prob, controls, pcof, terminal_condition, order: int = 2,
+                 forcing=None):
+    """Backward adjoint propagation (reference ``eval_adjoint``,
+    src/forward_evolution.jl:278-483).
+
+    Solves the discrete-adjoint recursion of the Hermite step: with the
+    forward step ``LHS_{n+1} w_{n+1} = RHS_n w_n`` the adjoint variable
+    lambda (the reference's lambda history) satisfies::
+
+        lambda_N   = terminal_condition              (pre-solved, see
+                                                      adjoint.compute_terminal_condition)
+        mu_n       = RHS_n^T lambda_{n+1} + forcing_n
+        lambda_n   = LHS_n^{-T} mu_n                 for n = N-1 .. 1
+
+    ``forcing`` is the per-step adjoint source term, shape
+    ``(nsteps+1, 2N, B)`` (the guard-penalty source,
+    src/eval_grad_discrete_adjoint.jl:732-752).
+
+    Returns ``(nsteps+1, 2N, B)`` with index n holding lambda_n; index 0 is
+    zero, matching the reference's convention that the backward sweep writes
+    columns 2..nsteps+1 (src/forward_evolution.jl:421-483).
+    """
+    controls = as_control_tuple(controls)
+    m = order // 2
+    dt, ts = _time_grid(prob)
+    P, Q = control_tables(controls, pcof, ts, m)
+    eye = jnp.eye(prob.real_system_size, dtype=jnp.float64)
+
+    def step(lam, xs):
+        pq_n, f_n = xs
+        A_n = assemble_generator_stack(prob, pq_n[0], pq_n[1], m)
+        # mu_n = RHS_n^T lambda_{n+1} (+ forcing)
+        D_n = scaled_derivatives(A_n, eye, m)
+        rhs_mat = build_rhs(D_n, dt, m)
+        mu = rhs_mat.T @ lam + f_n
+        # lambda_n = LHS_n^{-T} mu_n
+        lhs_mat = build_lhs(D_n, dt, m)
+        lam_prev = stage_solve_transposed(lhs_mat, mu)
+        return lam_prev, lam_prev
+
+    lam_N = terminal_condition
+    n = prob.nsteps
+    if forcing is None:
+        f_mid = jnp.zeros((n - 1,) + lam_N.shape, dtype=jnp.float64)
+    else:
+        f_mid = forcing[1:n]
+    xs = ((P[1:n], Q[1:n]), f_mid)
+    lam0, lams = jax.lax.scan(jax.checkpoint(step), lam_N, xs, reverse=True)
+    zeros = jnp.zeros_like(lam_N)
+    return jnp.concatenate([zeros[None], lams, lam_N[None]], axis=0)

@@ -1,0 +1,236 @@
+"""Optimizer driver (reference src/ipopt_optimal_control.jl).
+
+``optimize_gate`` minimizes ``infidelity + guard penalty + ridge`` over the
+control vector with a bound-constrained limited-memory quasi-Newton method.
+
+The reference drives C++ IPOPT configured as pure L-BFGS
+(hessian_approximation=limited-memory, history 40, tol 1e-5,
+src/ipopt_optimal_control.jl:442-460). Here:
+
+* ``method="lbfgsb"`` (default): scipy L-BFGS-B on the host, driving a
+  single jitted ``value_and_grad`` on device. Objective and gradient share
+  one forward solve by construction (AD), which is what the reference's
+  pcof-keyed memoization tracker laboriously arranges
+  (src/ipopt_optimal_control.jl:1-19, 243-346).
+* ``method="lbfgs"``: fully on-device optax L-BFGS with projected box
+  bounds, for TPU-resident/batched optimization.
+
+Per-iteration metrics go into :class:`OptimizationHistory` (reference
+OptimizationHistory, src/ipopt_optimal_control.jl:21-68) with optional
+JSON+npz checkpointing each iteration (the reference writes JLD2 every IPOPT
+iteration, :222-241, :373), and the loop hard-stops once the objective drops
+below ``stop_objective = 1e-7`` (:381-384).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from dataclasses import dataclass, field as dfield
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .controls import as_control_tuple, total_control_parameters
+from .objective import objective_parts
+
+
+@dataclass
+class OptimizationHistory:
+    """Per-iteration record (reference src/ipopt_optimal_control.jl:21-45)."""
+    iter_count: list = dfield(default_factory=list)
+    obj_value: list = dfield(default_factory=list)
+    wall_time: list = dfield(default_factory=list)
+    pcof: list = dfield(default_factory=list)
+    grad_pcof: list = dfield(default_factory=list)
+    analytic_obj_value: list = dfield(default_factory=list)
+    infidelity: list = dfield(default_factory=list)
+    guard_penalty: list = dfield(default_factory=list)
+    ridge_penalty: list = dfield(default_factory=list)
+
+    def append(self, it, obj, wall, pcof, grad, infid, guard, ridge):
+        self.iter_count.append(int(it))
+        self.obj_value.append(float(obj))
+        self.wall_time.append(float(wall))
+        self.pcof.append(np.asarray(pcof).copy())
+        self.grad_pcof.append(np.asarray(grad).copy())
+        self.analytic_obj_value.append(float(infid) + float(guard) + float(ridge))
+        self.infidelity.append(float(infid))
+        self.guard_penalty.append(float(guard))
+        self.ridge_penalty.append(float(ridge))
+
+    @property
+    def best_index(self) -> int:
+        return int(np.argmin(self.obj_value))
+
+    @property
+    def best_pcof(self):
+        return self.pcof[self.best_index]
+
+    def summary(self) -> str:
+        """Human summary (reference ``show``,
+        src/ipopt_optimal_control.jl:51-68)."""
+        if not self.obj_value:
+            return "OptimizationHistory (empty)"
+        i_obj = self.best_index
+        i_inf = int(np.argmin(self.infidelity))
+        return (
+            f"OptimizationHistory: {len(self.obj_value)} iterations\n"
+            f"  min objective  {self.obj_value[i_obj]:.6e} at iter "
+            f"{self.iter_count[i_obj]}\n"
+            f"  min infidelity {self.infidelity[i_inf]:.6e} at iter "
+            f"{self.iter_count[i_inf]}")
+
+    def save(self, filename: str):
+        """Checkpoint history (reference ``write_optimization_history`` JLD2
+        dumps, src/ipopt_optimal_control.jl:74-104)."""
+        meta = {k: getattr(self, k) for k in (
+            "iter_count", "obj_value", "wall_time", "analytic_obj_value",
+            "infidelity", "guard_penalty", "ridge_penalty")}
+        with open(filename + ".json", "w") as f:
+            json.dump(meta, f)
+        np.savez_compressed(filename + ".npz",
+                            pcof=np.asarray(self.pcof),
+                            grad_pcof=np.asarray(self.grad_pcof))
+
+    @staticmethod
+    def load(filename: str) -> "OptimizationHistory":
+        with open(filename + ".json") as f:
+            meta = json.load(f)
+        arrs = np.load(filename + ".npz")
+        h = OptimizationHistory(**meta)
+        h.pcof = list(arrs["pcof"])
+        h.grad_pcof = list(arrs["grad_pcof"])
+        return h
+
+
+class _StopOptimization(Exception):
+    pass
+
+
+def optimize_gate(prob, controls, pcof_init, target, *, order: int = 4,
+                  pcof_L=None, pcof_U=None, maxIter: int = 50,
+                  max_cpu_time: float = 300.0,
+                  ridge_penalty_strength: float = 1e-2,
+                  stop_objective: float = 1e-7,
+                  tol: float = 1e-5,
+                  lbfgs_history: int = 40,
+                  method: str = "lbfgsb",
+                  filename: str | None = None,
+                  print_level: int = 5,
+                  cost_type: str = "Infidelity") -> OptimizationHistory:
+    """Optimize the control vector (reference ``optimize_gate``,
+    src/ipopt_optimal_control.jl:187-471).
+
+    ``pcof_L``/``pcof_U``: box bounds, scalar or per-parameter vector
+    (:389-460). Returns the :class:`OptimizationHistory`.
+    """
+    controls = as_control_tuple(controls)
+    pcof0 = np.asarray(pcof_init, dtype=np.float64)
+    n = pcof0.size
+
+    def _bounds_vec(b, default):
+        if b is None:
+            return np.full(n, default)
+        b = np.asarray(b, dtype=np.float64)
+        return np.full(n, float(b)) if b.ndim == 0 else b
+
+    lower = _bounds_vec(pcof_L, -np.inf)
+    upper = _bounds_vec(pcof_U, np.inf)
+
+    @jax.jit
+    def value_parts_and_grad(pc):
+        def total(p):
+            j1, guard, ridge = objective_parts(
+                prob, controls, p, target, order,
+                ridge_penalty_strength=ridge_penalty_strength,
+                cost_type=cost_type)
+            return j1 + guard + ridge, (j1, guard, ridge)
+        (val, parts), grad = jax.value_and_grad(total, has_aux=True)(pc)
+        return val, parts, grad
+
+    history = OptimizationHistory()
+    t_start = time.perf_counter()
+    state = dict(it=0)
+
+    def eval_and_record(pc):
+        val, (j1, guard, ridge), grad = value_parts_and_grad(jnp.asarray(pc))
+        val = float(val)
+        grad = np.asarray(grad)
+        wall = time.perf_counter() - t_start
+        history.append(state["it"], val, wall, pc, grad, j1, guard, ridge)
+        state["it"] += 1
+        if print_level >= 5:
+            print(f"iter {state['it']:4d}  obj {val:.6e}  infid {float(j1):.6e} "
+                  f"guard {float(guard):.3e}  |g| {np.linalg.norm(grad):.3e}")
+        if not (0.0 <= float(j1) <= 1.0) and cost_type == "Infidelity":
+            print("Warning: infidelity outside [0, 1] "
+                  "(loss of accuracy or optimizer out of bounds)")
+        if filename is not None:
+            history.save(filename)
+        if val < stop_objective:
+            raise _StopOptimization
+        if wall > max_cpu_time:
+            raise _StopOptimization
+        return val, grad
+
+    if method == "lbfgsb":
+        from scipy.optimize import minimize
+
+        try:
+            minimize(
+                eval_and_record, pcof0, jac=True, method="L-BFGS-B",
+                bounds=list(zip(lower, upper)),
+                options=dict(maxiter=maxIter, maxcor=lbfgs_history,
+                             ftol=1e-18, gtol=tol))
+        except _StopOptimization:
+            pass
+    elif method == "lbfgs":
+        _optax_lbfgs_loop(eval_and_record, pcof0, lower, upper, maxIter,
+                          lbfgs_history)
+    else:
+        raise ValueError(f"unknown method {method!r}")
+
+    if print_level >= 3:
+        print(history.summary())
+    return history
+
+
+def _optax_lbfgs_loop(eval_and_record, pcof0, lower, upper, max_iter,
+                      memory):
+    """On-device L-BFGS with projected box bounds."""
+    import optax
+
+    opt = optax.lbfgs(memory_size=memory)
+    pc = jnp.asarray(pcof0)
+    lo = jnp.asarray(lower)
+    hi = jnp.asarray(upper)
+    opt_state = opt.init(pc)
+    try:
+        for _ in range(max_iter):
+            val, grad = eval_and_record(np.asarray(pc))
+            updates, opt_state = opt.update(
+                jnp.asarray(grad), opt_state, pc,
+                value=jnp.asarray(val), grad=jnp.asarray(grad),
+                value_fn=lambda p: jnp.asarray(eval_and_record(np.asarray(p))[0]))
+            pc = jnp.clip(optax.apply_updates(pc, updates), lo, hi)
+    except _StopOptimization:
+        pass
+
+
+def gradient_descent(prob, controls, pcof_init, target, *, order: int = 4,
+                     learning_rate: float = 0.01, max_iter: int = 100,
+                     cost_type: str = "Infidelity"):
+    """Plain fixed-step gradient *descent* (the reference's version ascends —
+    ``pcof += lr*grad``, a latent sign bug at src/gradient_descent.jl:29 —
+    implemented here with the documented intent)."""
+    from .adjoint import discrete_adjoint
+
+    pcof = jnp.asarray(pcof_init, dtype=jnp.float64)
+    for _ in range(max_iter):
+        grad = discrete_adjoint(prob, controls, pcof, target, order,
+                                cost_type=cost_type)
+        pcof = pcof - learning_rate * grad
+    return pcof
