@@ -35,8 +35,20 @@ from .ops.hermite import (
     adjoint_scaled_derivatives,
     build_rhs,
     build_lhs,
+    taylor_expand,
 )
 from .ops.linalg import stage_solve, stage_solve_transposed
+
+
+def _make_preconditioner(prob, dt, order: int):
+    """Build the (apply, apply_T) preconditioner pair for the GMRES stage
+    from ``prob.preconditioner_type`` (reference selects the preconditioner
+    per problem type, src/SchrodingerProb.jl:63)."""
+    if prob.solver != "gmres" or prob.preconditioner_type == "identity":
+        return None
+    from .ops.preconditioners import PRECONDITIONERS
+
+    return PRECONDITIONERS[prob.preconditioner_type](prob, dt, order)
 
 
 def _time_grid(prob):
@@ -45,22 +57,27 @@ def _time_grid(prob):
     return dt, ts
 
 
-def _hermite_step(prob, m, dt, w, pq_n, pq_np1, forcing_n, forcing_np1):
+def _hermite_step(prob, m, dt, w, pq_n, pq_np1, forcing_n, forcing_np1,
+                  precond=None):
     """One Hermite-Obreshkov step ``w_n -> w_{n+1}``.
 
     ``pq_* = (P, Q)`` control tables ``(m, N_ops)`` at the two endpoints;
     ``forcing_*`` optional ``(m, 2N, B)`` scaled forcing derivatives.
     Returns ``(w_{n+1}, W_derivs_at_t_n)``.
+
+    Stage solver (``prob.solver``):
+
+    * ``"lu"`` (default): materialize the dense LHS by running the
+      recursion on the identity; one batched direct solve.
+    * ``"gmres"``: matrix-free fixed-iteration GMRES with the reference's
+      Taylor-expansion initial guess (src/forward_evolution.jl:184) and
+      optional preconditioner — for systems too large to materialize.
     """
     A_n = assemble_generator_stack(prob, pq_n[0], pq_n[1], m)
     A_np1 = assemble_generator_stack(prob, pq_np1[0], pq_np1[1], m)
 
     Ws = scaled_derivatives(A_n, w, m, forcing=forcing_n)
     rhs = build_rhs(Ws, dt, m)
-
-    eye = jnp.eye(prob.real_system_size, dtype=w.dtype)
-    D = scaled_derivatives(A_np1, eye, m)
-    lhs_mat = build_lhs(D, dt, m)
 
     if forcing_np1 is not None:
         # Implicit-side forcing: derivatives at t_{n+1} are affine in w_{n+1},
@@ -69,7 +86,26 @@ def _hermite_step(prob, m, dt, w, pq_n, pq_np1, forcing_n, forcing_np1):
         G = scaled_derivatives(A_np1, jnp.zeros_like(w), m, forcing=forcing_np1)
         rhs = rhs - build_lhs(G, dt, m)
 
-    w_next = stage_solve(lhs_mat, rhs)
+    if prob.solver == "gmres":
+        from .ops.gmres import hermite_gmres_stage
+
+        def apply_lhs(v):
+            return build_lhs(scaled_derivatives(A_np1, v, m), dt, m)
+
+        def apply_lhs_T(v):
+            AT = jnp.swapaxes(A_np1, -1, -2)
+            return build_lhs(scaled_derivatives(AT, v, m), dt, m)
+
+        x0 = taylor_expand(Ws, dt, m)
+        pc, pc_T = (None, None) if precond is None else precond
+        w_next = hermite_gmres_stage(apply_lhs, apply_lhs_T, rhs, x0,
+                                     iters=prob.gmres_iters, precond=pc,
+                                     precond_T=pc_T)
+    else:
+        eye = jnp.eye(prob.real_system_size, dtype=w.dtype)
+        D = scaled_derivatives(A_np1, eye, m)
+        lhs_mat = build_lhs(D, dt, m)
+        w_next = stage_solve(lhs_mat, rhs)
     return w_next, Ws
 
 
@@ -88,6 +124,7 @@ def hermite_forward_history(prob, controls, pcof, order: int = 2,
     dt, ts = _time_grid(prob)
     P, Q = control_tables(controls, pcof, ts, m)
     w0 = prob.w0
+    precond = _make_preconditioner(prob, dt, order)
 
     def step(w, xs):
         if forcing is None:
@@ -95,7 +132,8 @@ def hermite_forward_history(prob, controls, pcof, order: int = 2,
             f_n = f_np1 = None
         else:
             pq_n, pq_np1, f_n, f_np1 = xs
-        w_next, _ = _hermite_step(prob, m, dt, w, pq_n, pq_np1, f_n, f_np1)
+        w_next, _ = _hermite_step(prob, m, dt, w, pq_n, pq_np1, f_n, f_np1,
+                                  precond=precond)
         return w_next, w_next
 
     if remat:

@@ -77,6 +77,9 @@ class SchrodingerProblem:
     solver: str = field(default="lu", metadata=dict(static=True))
     gmres_abstol: float = field(default=1e-10, metadata=dict(static=True))
     gmres_reltol: float = field(default=1e-10, metadata=dict(static=True))
+    gmres_iters: int = field(default=20, metadata=dict(static=True))
+    preconditioner_type: str = field(default="identity",
+                                     metadata=dict(static=True))
 
     # ------------------------------------------------------------------
     # Derived sizes (static Python ints; usable as jit-static values)
@@ -176,6 +179,8 @@ def schrodinger_problem(
     solver: str = "lu",
     gmres_abstol: float = 1e-10,
     gmres_reltol: float = 1e-10,
+    gmres_iters: int = 20,
+    preconditioner_type: str = "identity",
 ) -> SchrodingerProblem:
     """Build a validated :class:`SchrodingerProblem` from real split operators.
 
@@ -224,6 +229,8 @@ def schrodinger_problem(
         solver=solver,
         gmres_abstol=float(gmres_abstol),
         gmres_reltol=float(gmres_reltol),
+        gmres_iters=int(gmres_iters),
+        preconditioner_type=preconditioner_type,
     )
 
 
