@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""CNOT3 gate-design CLI — the TPU-native counterpart of the reference's
+headline batch script (examples/cnot3_optimize_gate.jl:6-32 ArgParse CLI and
+examples/cnot3_optimize_gate.sb SLURM array).
+
+Usage:
+    python examples/cnot3_optimize_gate.py ORDER STEPSIZE \
+        [-m MAX_ITER] [--tf TF] [--d1 D1] [--amp-bound B] [-o OUT]
+
+Where the reference sweeps (order, stepsize) pairs across SLURM array jobs,
+here a single invocation optimizes one configuration; the scenario-batched
+multi-chip sweep lives in examples/cnot3_scenario_sweep.py.
+"""
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("order", type=int, help="Hermite method order (2,4,6,...)")
+    p.add_argument("stepsize", type=float, help="timestep size dt")
+    p.add_argument("-m", "--max-iter", type=int, default=50)
+    p.add_argument("--tf", type=float, default=550.0)
+    p.add_argument("--d1", type=int, default=10,
+                   help="B-spline coefficients per pulse quadrature")
+    p.add_argument("--amp-bound", type=float, default=0.02,
+                   help="box bound on control amplitudes (rad/ns)")
+    p.add_argument("--ridge", type=float, default=1e-2)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("-o", "--output", default=None,
+                   help="history checkpoint basename (JSON+npz)")
+    args = p.parse_args(argv)
+
+    import jax.numpy as jnp
+    import qgd_tpu
+
+    nsteps = max(int(np.ceil(args.tf / args.stepsize)), 1)
+    prob = qgd_tpu.models.cnot3_problem(tf=args.tf, nsteps=nsteps)
+    controls = [qgd_tpu.BSpline2Control(args.d1, args.tf) for _ in range(3)]
+    n = sum(c.N_coeff for c in controls)
+    rng = np.random.default_rng(args.seed)
+    pcof0 = jnp.asarray(rng.uniform(-args.amp_bound / 10,
+                                    args.amp_bound / 10, n))
+
+    # CNOT on the first two qudits, identity on the third:
+    # |1 1 k> -> |1 0 k>, |1 0 k> -> |1 1 k|
+    pairs = []
+    for k in range(2):
+        pairs.append(((1, 1, k), (1, 0, k)))
+        pairs.append(((1, 0, k), (1, 1, k)))
+    target = qgd_tpu.create_gate((4, 4, 4), (2, 2, 2), pairs)
+
+    print(f"CNOT3: order={args.order} dt={args.stepsize} nsteps={nsteps} "
+          f"n_params={n}")
+    hist = qgd_tpu.optimize_gate(
+        prob, controls, pcof0, jnp.asarray(target), order=args.order,
+        pcof_L=-args.amp_bound, pcof_U=args.amp_bound,
+        maxIter=args.max_iter, ridge_penalty_strength=args.ridge,
+        filename=args.output, print_level=5)
+    print(hist.summary())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

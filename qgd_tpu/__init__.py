@@ -99,6 +99,11 @@ from .optimize import (  # noqa: E402
     OptimizationHistory,
     gradient_descent,
 )
+from .models.juqbox_io import (  # noqa: E402
+    convert_juqbox,
+    convert_to_juqbox,
+    load_juqbox_npz,
+)
 from .models import (  # noqa: E402
     construct_rabi_prob,
     construct_rand_prob,
@@ -117,6 +122,12 @@ from .models import (  # noqa: E402
     guard_projector,
     rotation_matrix,
 )
+from .controls.hermite import (  # noqa: E402
+    sample_from_controls,
+    construct_pcof_from_sample,
+)
+from . import parallel  # noqa: E402
+from . import native  # noqa: E402
 from .utils import (  # noqa: E402
     get_populations,
     target_helper,
@@ -216,4 +227,11 @@ __all__ = [
     "richardson_extrap_rel_err",
     "get_histories",
     "get_runtime_ratios",
+    "convert_juqbox",
+    "convert_to_juqbox",
+    "load_juqbox_npz",
+    "sample_from_controls",
+    "construct_pcof_from_sample",
+    "parallel",
+    "native",
 ]

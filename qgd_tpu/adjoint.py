@@ -56,15 +56,33 @@ def _objective_fn(prob, controls, pcof, target, order, cost_type):
                            ridge_penalty_strength=0.0, cost_type=cost_type)
 
 
+def default_adjoint_method() -> str:
+    """Backend-dependent default gradient route. On TPU (including the
+    axon-tunneled backend) the XLA pipeline handles transposed scans poorly
+    (reverse-mode-of-scan programs compile pathologically slowly), so the
+    hand-structured Lagrange adjoint — which uses only forward-executed
+    scans with per-step VJPs — is the default there; elsewhere reverse-mode
+    AD through the scan is used. Both produce identical gradients (tested
+    to 1e-13)."""
+    try:
+        if jax.default_backend() in ("tpu", "axon"):
+            return "lagrange"
+    except Exception:
+        pass
+    return "ad"
+
+
 @partial(jax.jit, static_argnames=("order", "cost_type", "method"))
 def discrete_adjoint(prob, controls, pcof, target, order: int = 2,
-                     cost_type: str = "Infidelity", method: str = "ad"):
+                     cost_type: str = "Infidelity", method: str = "auto"):
     """Exact gradient of (terminal cost + guard penalty) w.r.t. pcof
     (reference ``discrete_adjoint``, src/eval_grad_discrete_adjoint.jl:83-160;
     ridge gradient is added by the optimizer, as in the reference,
     src/ipopt_optimal_control.jl:311)."""
     controls = as_control_tuple(controls)
     pcof = jnp.asarray(pcof, dtype=jnp.float64)
+    if method == "auto":
+        method = default_adjoint_method()
     if method == "ad":
         return jax.grad(
             lambda pc: _objective_fn(prob, controls, pc, target, order,

@@ -173,6 +173,27 @@ def HermiteCarrierControl(N_points, tf, N_derivatives, carrier_frequencies,
     return CarrierControl(base, carrier_frequencies)
 
 
+def sample_from_controls(controls_orig, pcof_orig, N_samples, N_derivatives,
+                         scaling_type: str = "Derivative"):
+    """Build Hermite controls sampling an existing control set
+    (hermite_control.jl:361-381): one Hermite control per original control,
+    pcofs concatenated. Returns (controls_new, pcof_new)."""
+    import jax.numpy as jnp
+
+    from .base import as_control_tuple, control_vector_slice
+
+    controls_orig = as_control_tuple(controls_orig)
+    new_controls = []
+    new_pcofs = []
+    for i, ctrl in enumerate(controls_orig):
+        local = control_vector_slice(jnp.asarray(pcof_orig), controls_orig, i)
+        hc = HermiteControl(N_samples, ctrl.tf, N_derivatives, scaling_type)
+        new_controls.append(hc)
+        new_pcofs.append(np.asarray(construct_pcof_from_sample(ctrl, local,
+                                                               hc)))
+    return new_controls, jnp.asarray(np.concatenate(new_pcofs))
+
+
 def construct_pcof_from_sample(control_orig, pcof_orig, hermite_control):
     """Sample an existing control's values/derivatives at the Hermite control
     points to build an equivalent Hermite pcof

@@ -248,7 +248,12 @@ def eval_adjoint(prob, controls, pcof, terminal_condition, order: int = 2,
         f_mid = jnp.zeros((n - 1,) + lam_N.shape, dtype=jnp.float64)
     else:
         f_mid = forcing[1:n]
-    xs = ((P[1:n], Q[1:n]), f_mid)
-    lam0, lams = jax.lax.scan(jax.checkpoint(step), lam_N, xs, reverse=True)
+    # Forward-executed scan over time-reversed inputs rather than
+    # ``reverse=True``: the TPU remote compiler pessimizes reverse scans
+    # catastrophically (empirically ~unbounded compile time beyond ~10
+    # steps), while forward scans compile in seconds.
+    xs = ((P[1:n][::-1], Q[1:n][::-1]), f_mid[::-1])
+    lam0, lams_rev = jax.lax.scan(step, lam_N, xs)
+    lams = lams_rev[::-1]
     zeros = jnp.zeros_like(lam_N)
     return jnp.concatenate([zeros[None], lams, lam_N[None]], axis=0)

@@ -98,7 +98,16 @@ def create_initial_conditions(subsystem_sizes, essential_subsystem_sizes,
 def guard_projector(subsystem_sizes, essential_subsystem_sizes,
                     bitstring_ordered: bool = True) -> np.ndarray:
     """Real (2N, 2N) projector ``[[G, 0], [0, G]]`` onto non-essential
-    (guard) levels (multi_qudit_systems.jl:316-349)."""
+    (guard) levels (multi_qudit_systems.jl:316-349).
+
+    Note a latent reference defect not replicated here: for *asymmetric*
+    essential sizes the reference compares the reversed iteration tuple
+    against the unreversed essential sizes (multi_qudit_systems.jl:333-335),
+    pairing subsystem i's level index with subsystem (Q-1-i)'s essential
+    size — inconsistent with its own ``create_initial_conditions``. Here a
+    state is guarded iff any subsystem's level index exceeds *that
+    subsystem's* essential size. Identical for the symmetric benchmark
+    configs (e.g. (2,2,2))."""
     n_tot = int(np.prod(subsystem_sizes))
     G = np.zeros((n_tot, n_tot))
     for idx in itertools.product(*[range(n) for n in subsystem_sizes]):

@@ -140,16 +140,22 @@ def optimize_gate(prob, controls, pcof_init, target, *, order: int = 4,
     lower = _bounds_vec(pcof_L, -np.inf)
     upper = _bounds_vec(pcof_U, np.inf)
 
+    from .adjoint import discrete_adjoint
+
     @jax.jit
     def value_parts_and_grad(pc):
-        def total(p):
-            j1, guard, ridge = objective_parts(
-                prob, controls, p, target, order,
-                ridge_penalty_strength=ridge_penalty_strength,
-                cost_type=cost_type)
-            return j1 + guard + ridge, (j1, guard, ridge)
-        (val, parts), grad = jax.value_and_grad(total, has_aux=True)(pc)
-        return val, parts, grad
+        # Objective and gradient share one forward solve through AD (the
+        # role of the reference's pcof-keyed memoization tracker); the
+        # gradient route is backend-dependent (see
+        # adjoint.default_adjoint_method).
+        j1, guard, ridge = objective_parts(
+            prob, controls, pc, target, order,
+            ridge_penalty_strength=ridge_penalty_strength,
+            cost_type=cost_type)
+        grad = discrete_adjoint(prob, controls, pc, target, order,
+                                cost_type=cost_type)
+        grad = grad + 2.0 * ridge_penalty_strength * pc / pc.shape[0]
+        return j1 + guard + ridge, (j1, guard, ridge), grad
 
     history = OptimizationHistory()
     t_start = time.perf_counter()

