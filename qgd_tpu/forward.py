@@ -37,7 +37,58 @@ from .ops.hermite import (
     build_lhs,
     taylor_expand,
 )
-from .ops.linalg import stage_solve, stage_solve_transposed
+from .ops.linalg import (
+    stage_solve,
+    stage_solve_transposed,
+    factorize_stages,
+    solve_factored,
+)
+
+# Hoisting the per-step LHS matrices + factorizations out of the scan
+# costs (2 + lu) * nsteps * (2N)^2 * 8 bytes of HBM; cap it.
+_PRECOMPUTE_BYTES_LIMIT = 1_500_000_000
+
+
+def _use_precomputed_stages(prob) -> str | None:
+    """Which state-independent work to hoist out of the scan:
+
+    * ``"full"`` — stage matrices AND batched LU factorizations (CPU; the
+      batched ``getrf`` wedges the axon TPU remote compiler).
+    * ``"mats"`` — stage matrices only; factorize per step inside the scan.
+    * ``None`` — build everything in the scan body (iterative solver, or
+      memory cap exceeded, or TPU).
+
+    On the axon TPU backend the conservative in-scan path is used: the
+    remote compiler wedges on batched ``getrf`` (``"full"``) and has not
+    yet been validated on ``"mats"`` (every failed compile poisons the
+    serialized compile queue for ~30+ min, making validation expensive —
+    revisit with dedicated chip time).
+    """
+    if prob.solver != "lu":
+        return None
+    n2 = prob.real_system_size
+    if 3 * prob.nsteps * n2 * n2 * 8 > _PRECOMPUTE_BYTES_LIMIT:
+        return None
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        backend = "cpu"
+    return None if backend in ("tpu", "axon") else "full"
+
+
+def _stage_matrices(prob, m, dt, P, Q, sign: float):
+    """Batched dense one-step matrices ``sum_j (sign*dt)^j c_j D_j`` at the
+    time points whose control tables are ``P, Q (T, m, N_ops)`` — the fully
+    parallel, state-independent precompute (MXU-saturating batched matmuls),
+    hoisted out of the sequential scan."""
+    eye = jnp.eye(prob.real_system_size, dtype=jnp.float64)
+
+    def build(p, q):
+        A = assemble_generator_stack(prob, p, q, m)
+        D = scaled_derivatives(A, eye, m)
+        return build_rhs(D, sign * dt, m)
+
+    return jax.vmap(build)(P, Q)
 
 
 def _make_preconditioner(prob, dt, order: int):
@@ -124,6 +175,42 @@ def hermite_forward_history(prob, controls, pcof, order: int = 2,
     dt, ts = _time_grid(prob)
     P, Q = control_tables(controls, pcof, ts, m)
     w0 = prob.w0
+
+    precompute = _use_precomputed_stages(prob) if forcing is None else None
+    if precompute:
+        # Fast path: LHS matrices (and on CPU their LU factorizations)
+        # built batched outside the scan; the sequential body is only the
+        # state-dependent derivative recursion plus the solve.
+        lhs_mats = _stage_matrices(prob, m, dt, P[1:], Q[1:], -1.0)
+
+        if precompute == "full":
+            lu, piv = factorize_stages(lhs_mats)
+
+            def step_fast(w, xs):
+                pq_n, M, lu_n, piv_n = xs
+                A_n = assemble_generator_stack(prob, pq_n[0], pq_n[1], m)
+                Ws = scaled_derivatives(A_n, w, m)
+                rhs = build_rhs(Ws, dt, m)
+                w_next = solve_factored(M, lu_n, piv_n, rhs)
+                return w_next, w_next
+
+            xs = ((P[:-1], Q[:-1]), lhs_mats, lu, piv)
+        else:
+            def step_fast(w, xs):
+                pq_n, M = xs
+                A_n = assemble_generator_stack(prob, pq_n[0], pq_n[1], m)
+                Ws = scaled_derivatives(A_n, w, m)
+                rhs = build_rhs(Ws, dt, m)
+                w_next = stage_solve(M, rhs)
+                return w_next, w_next
+
+            xs = ((P[:-1], Q[:-1]), lhs_mats)
+
+        if remat:
+            step_fast = jax.checkpoint(step_fast)
+        _, traj = jax.lax.scan(step_fast, w0, xs)
+        return jnp.concatenate([w0[None], traj], axis=0)
+
     precond = _make_preconditioner(prob, dt, order)
 
     def step(w, xs):
@@ -230,30 +317,63 @@ def eval_adjoint(prob, controls, pcof, terminal_condition, order: int = 2,
     P, Q = control_tables(controls, pcof, ts, m)
     eye = jnp.eye(prob.real_system_size, dtype=jnp.float64)
 
-    def step(lam, xs):
-        pq_n, f_n = xs
-        A_n = assemble_generator_stack(prob, pq_n[0], pq_n[1], m)
-        # mu_n = RHS_n^T lambda_{n+1} (+ forcing)
-        D_n = scaled_derivatives(A_n, eye, m)
-        rhs_mat = build_rhs(D_n, dt, m)
-        mu = rhs_mat.T @ lam + f_n
-        # lambda_n = LHS_n^{-T} mu_n
-        lhs_mat = build_lhs(D_n, dt, m)
-        lam_prev = stage_solve_transposed(lhs_mat, mu)
-        return lam_prev, lam_prev
-
     lam_N = terminal_condition
     n = prob.nsteps
     if forcing is None:
         f_mid = jnp.zeros((n - 1,) + lam_N.shape, dtype=jnp.float64)
     else:
         f_mid = forcing[1:n]
+
     # Forward-executed scan over time-reversed inputs rather than
     # ``reverse=True``: the TPU remote compiler pessimizes reverse scans
     # catastrophically (empirically ~unbounded compile time beyond ~10
     # steps), while forward scans compile in seconds.
-    xs = ((P[1:n][::-1], Q[1:n][::-1]), f_mid[::-1])
-    lam0, lams_rev = jax.lax.scan(step, lam_N, xs)
+    precompute = _use_precomputed_stages(prob)
+    if precompute:
+        # Hoisted state-independent work: RHS matrices and transposed-LHS
+        # (and on CPU their factorizations) for t_1..t_{N-1}, batched
+        # outside the scan.
+        rhs_mats = _stage_matrices(prob, m, dt, P[1:n], Q[1:n], 1.0)
+        lhs_T = jnp.swapaxes(
+            _stage_matrices(prob, m, dt, P[1:n], Q[1:n], -1.0), -1, -2)
+
+        if precompute == "full":
+            lu, piv = factorize_stages(lhs_T)
+
+            def step_fast(lam, xs):
+                R, MT, lu_n, piv_n, f_n = xs
+                mu = jnp.swapaxes(R, -1, -2) @ lam + f_n
+                lam_prev = solve_factored(MT, lu_n, piv_n, mu)
+                return lam_prev, lam_prev
+
+            xs = (rhs_mats[::-1], lhs_T[::-1], lu[::-1], piv[::-1],
+                  f_mid[::-1])
+        else:
+            def step_fast(lam, xs):
+                R, MT, f_n = xs
+                mu = jnp.swapaxes(R, -1, -2) @ lam + f_n
+                lam_prev = stage_solve(MT, mu)
+                return lam_prev, lam_prev
+
+            xs = (rhs_mats[::-1], lhs_T[::-1], f_mid[::-1])
+
+        lam0, lams_rev = jax.lax.scan(step_fast, lam_N, xs)
+    else:
+        def step(lam, xs):
+            pq_n, f_n = xs
+            A_n = assemble_generator_stack(prob, pq_n[0], pq_n[1], m)
+            # mu_n = RHS_n^T lambda_{n+1} (+ forcing)
+            D_n = scaled_derivatives(A_n, eye, m)
+            rhs_mat = build_rhs(D_n, dt, m)
+            mu = rhs_mat.T @ lam + f_n
+            # lambda_n = LHS_n^{-T} mu_n
+            lhs_mat = build_lhs(D_n, dt, m)
+            lam_prev = stage_solve_transposed(lhs_mat, mu)
+            return lam_prev, lam_prev
+
+        xs = ((P[1:n][::-1], Q[1:n][::-1]), f_mid[::-1])
+        lam0, lams_rev = jax.lax.scan(step, lam_N, xs)
+
     lams = lams_rev[::-1]
     zeros = jnp.zeros_like(lam_N)
     return jnp.concatenate([zeros[None], lams, lam_N[None]], axis=0)

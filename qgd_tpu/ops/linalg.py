@@ -62,6 +62,47 @@ def refined_lu_solve(A, B, refine_iters: int = 3):
     )
 
 
+def factorize_stages(M):
+    """Batched LU factorization of precomputed stage matrices
+    ``M (T, n, n)`` — one ``getrf`` per timestep, all in parallel (this is
+    the state-independent work hoisted out of the sequential scan).
+
+    Returns ``(lu, piv)`` batched; f32 on TPU (refined at solve time), f64
+    elsewhere.
+    """
+    dtype = jnp.float32 if _needs_mixed_precision() else jnp.float64
+    lu, piv = jax.vmap(jsp_linalg.lu_factor)(M.astype(dtype))
+    return lu, piv
+
+
+def solve_factored(M_n, lu_n, piv_n, b, refine_iters: int = 3):
+    """Solve ``M_n x = b`` with a precomputed factorization of ``M_n``;
+    iterative refinement in f64 when the factors are f32. Wrapped in
+    ``custom_linear_solve`` so AD solves the transposed system with the same
+    factors (no differentiation through ``getrf``)."""
+    mixed = lu_n.dtype == jnp.float32
+
+    def coarse(rhs, trans):
+        r = rhs.astype(lu_n.dtype)
+        return jsp_linalg.lu_solve((lu_n, piv_n), r,
+                                   trans=trans).astype(jnp.float64)
+
+    def direct(rhs, trans):
+        if not mixed:
+            return coarse(rhs, trans)
+        x = coarse(rhs, trans)
+        for _ in range(refine_iters):
+            r = rhs - (M_n.T if trans else M_n) @ x
+            x = x + coarse(r, trans)
+        return x
+
+    return lax.custom_linear_solve(
+        lambda v: M_n @ v, b,
+        solve=lambda mv, rhs: direct(rhs, 0),
+        transpose_solve=lambda mv, rhs: direct(rhs, 1),
+    )
+
+
 def stage_solve(A, B):
     """Backend-dispatched dense solve of the implicit stage. ``A (n, n)``,
     ``B (n, ...)``; both f64."""
