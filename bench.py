@@ -3,26 +3,28 @@ CNOT3 configuration (BASELINE.md: the driver-defined primary metric).
 
 Times the jitted objective + discrete-adjoint gradient of the CNOT3 system
 ((4,4,4) qudits, 128-dim real-stacked state, 8 gate-basis columns, order-4
-Hermite, B-spline controls) for a *batch of control-vector scenarios* — the
+Hermite, B-spline controls) for a batch of control-vector scenarios — the
 production workload shape (multi-start optimization; the reference's
-SLURM-array scale-out, BASELINE.md configs list 256-scenario runs). Counted
-timesteps = nsteps x (1 objective-forward + 1 gradient-forward + 1 adjoint
-sweep) x scenarios.
+SLURM-array scale-out). Counted timesteps = nsteps x (1 objective-forward +
+1 gradient-forward + 1 adjoint sweep) x scenarios.
 
-Gradient route: the hand-structured Lagrange discrete adjoint
-(forward-executed scans only — the axon TPU remote compiler cannot compile
-transposed/reverse scans; see qgd_tpu/adjoint.py).
+Robustness: the axon TPU remote-compile service in this container serializes
+compiles and can be wedged for tens of minutes by orphaned jobs, so the
+measurement runs in a subprocess with a deadline; on timeout it retries once
+and then falls back to the CPU backend (labeled via the metric suffix) so
+the driver always gets its JSON line.
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md); the
 stand-in baseline is its hardware budget — a single CPU core — measured with
 tools/baseline_cpu.py (same dense step loop, numpy/LAPACK, one thread) on
-this machine: BASELINE_STEPS_PER_SEC forward+adjoint steps/sec.
+this machine.
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
-
-import numpy as np
 
 # Single-core CPU forward+adjoint steps/sec for CNOT3 order-4, measured with
 # tools/baseline_cpu.py (numpy LU path, one core) on this container.
@@ -31,26 +33,32 @@ BASELINE_STEPS_PER_SEC = 987.7
 NSTEPS = 1000
 ORDER = 4
 SCENARIOS = 16
+TPU_DEADLINE_S = 1200
 
 
-def main():
+def measure():
+    """Worker: compile + time the benchmark on the current backend; prints
+    an intermediate JSON line with the raw steps/sec."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
     import qgd_tpu
     from qgd_tpu.adjoint import discrete_adjoint
     from qgd_tpu.objective import objective_parts
+
+    backend = jax.default_backend()
+    scenarios = SCENARIOS if backend in ("tpu", "axon") else 4
 
     prob = qgd_tpu.models.cnot3_problem(nsteps=NSTEPS)
     controls = tuple(qgd_tpu.BSpline2Control(10, float(prob.tf))
                      for _ in range(3))
     rng = np.random.default_rng(0)
-    pcofs = jnp.asarray(rng.standard_normal((SCENARIOS, 60)) * 0.01)
+    pcofs = jnp.asarray(rng.standard_normal((scenarios, 60)) * 0.01)
     rng2 = np.random.default_rng(1)
     tgt = jnp.asarray(
         rng2.standard_normal((64, 8)) + 1j * rng2.standard_normal((64, 8)))
 
-    method = ("lagrange" if jax.default_backend() in ("tpu", "axon")
-              else "ad")
+    method = ("lagrange" if backend in ("tpu", "axon") else "ad")
 
     def one(pc):
         j1, guard, _ = objective_parts(prob, controls, pc, tgt, ORDER)
@@ -70,16 +78,60 @@ def main():
         jax.block_until_ready(out)
     elapsed = (time.perf_counter() - t0) / reps
 
-    total_steps = 3 * NSTEPS * SCENARIOS
-    steps_per_sec = total_steps / elapsed
-
+    total_steps = 3 * NSTEPS * scenarios
     print(json.dumps({
-        "metric": "cnot3_hermite_steps_per_sec_fwd_adj",
-        "value": round(steps_per_sec, 1),
+        "_worker": True,
+        "backend": backend,
+        "steps_per_sec": total_steps / elapsed,
+    }), flush=True)
+
+
+def _run_worker(env_extra, timeout):
+    env = dict(os.environ, **env_extra)
+    try:
+        res = subprocess.run(
+            [sys.executable, "-u", os.path.abspath(__file__), "--worker"],
+            capture_output=True, text=True, timeout=timeout, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+    except subprocess.TimeoutExpired:
+        return None
+    for line in res.stdout.splitlines():
+        try:
+            d = json.loads(line)
+            if d.get("_worker"):
+                return d
+        except json.JSONDecodeError:
+            continue
+    return None
+
+
+def main():
+    result = _run_worker({}, TPU_DEADLINE_S)
+    if result is None:
+        result = _run_worker({}, TPU_DEADLINE_S)   # retry once
+    suffix = ""
+    if result is None:
+        # TPU compile service unavailable: measure on CPU so the driver
+        # still gets a number (labeled).
+        result = _run_worker(
+            {"JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": ""}, 1200)
+        suffix = "_cpu_fallback"
+    if result is None:
+        print(json.dumps({
+            "metric": "cnot3_hermite_steps_per_sec_fwd_adj_failed",
+            "value": 0.0, "unit": "timesteps/sec/chip", "vs_baseline": 0.0}))
+        return
+    sps = result["steps_per_sec"]
+    print(json.dumps({
+        "metric": "cnot3_hermite_steps_per_sec_fwd_adj" + suffix,
+        "value": round(sps, 1),
         "unit": "timesteps/sec/chip",
-        "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3),
+        "vs_baseline": round(sps / BASELINE_STEPS_PER_SEC, 3),
     }))
 
 
 if __name__ == "__main__":
-    main()
+    if "--worker" in sys.argv:
+        measure()
+    else:
+        main()

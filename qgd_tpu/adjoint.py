@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .controls import as_control_tuple, control_tables_at, total_control_parameters
+from .controls import as_control_tuple, control_tables_at
 from .forward import eval_forward, eval_adjoint, _time_grid
 from .objective import (
     objective_value,

@@ -32,7 +32,6 @@ from .controls import control_tables, as_control_tuple
 from .ops.hermite import (
     assemble_generator_stack,
     scaled_derivatives,
-    adjoint_scaled_derivatives,
     build_rhs,
     build_lhs,
     taylor_expand,

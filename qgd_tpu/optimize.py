@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .controls import as_control_tuple, total_control_parameters
+from .controls import as_control_tuple
 from .objective import objective_parts
 
 
@@ -194,8 +194,10 @@ def optimize_gate(prob, controls, pcof_init, target, *, order: int = 4,
         except _StopOptimization:
             pass
     elif method == "lbfgs":
-        _optax_lbfgs_loop(eval_and_record, pcof0, lower, upper, maxIter,
-                          lbfgs_history)
+        silent_value = jax.jit(
+            lambda pc: value_parts_and_grad(pc)[0])
+        _optax_lbfgs_loop(eval_and_record, silent_value, pcof0, lower, upper,
+                          maxIter, lbfgs_history)
     else:
         raise ValueError(f"unknown method {method!r}")
 
@@ -204,9 +206,10 @@ def optimize_gate(prob, controls, pcof_init, target, *, order: int = 4,
     return history
 
 
-def _optax_lbfgs_loop(eval_and_record, pcof0, lower, upper, max_iter,
-                      memory):
-    """On-device L-BFGS with projected box bounds."""
+def _optax_lbfgs_loop(eval_and_record, silent_value, pcof0, lower, upper,
+                      max_iter, memory):
+    """On-device L-BFGS with projected box bounds. Line-search probes use
+    the silent objective; the history records one entry per iteration."""
     import optax
 
     opt = optax.lbfgs(memory_size=memory)
@@ -220,7 +223,7 @@ def _optax_lbfgs_loop(eval_and_record, pcof0, lower, upper, max_iter,
             updates, opt_state = opt.update(
                 jnp.asarray(grad), opt_state, pc,
                 value=jnp.asarray(val), grad=jnp.asarray(grad),
-                value_fn=lambda p: jnp.asarray(eval_and_record(np.asarray(p))[0]))
+                value_fn=silent_value)
             pc = jnp.clip(optax.apply_updates(pc, updates), lo, hi)
     except _StopOptimization:
         pass

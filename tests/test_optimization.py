@@ -71,3 +71,16 @@ def test_gradient_descent_decreases_objective():
                                   learning_rate=0.05, max_iter=20)
     after = float(infidelity_plus_guard(prob, control, p1, target, order=4))
     assert after < before
+
+
+def test_optax_lbfgs_method():
+    """On-device optax L-BFGS backend reaches the analytic optimum too."""
+    prob = construct_rabi_prob(nsteps=30)
+    control = GRAPEControl(1, float(prob.tf))
+    hist = optimize_gate(
+        prob, control, jnp.asarray([0.42, 0.06]), _swap_target(), order=6,
+        method="lbfgs", ridge_penalty_strength=0.0, maxIter=200,
+        print_level=0)
+    assert hist.obj_value[hist.best_index] < 1e-6
+    amp = np.hypot(*hist.best_pcof)
+    assert abs(amp - 0.5) < 5e-3
