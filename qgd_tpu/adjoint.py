@@ -57,19 +57,16 @@ def _objective_fn(prob, controls, pcof, target, order, cost_type):
 
 
 def default_adjoint_method() -> str:
-    """Backend-dependent default gradient route. On TPU (including the
-    axon-tunneled backend) the XLA pipeline handles transposed scans poorly
-    (reverse-mode-of-scan programs compile pathologically slowly), so the
-    hand-structured Lagrange adjoint — which uses only forward-executed
-    scans with per-step VJPs — is the default there; elsewhere reverse-mode
-    AD through the scan is used. Both produce identical gradients (tested
-    to 1e-13)."""
-    try:
-        if jax.default_backend() in ("tpu", "axon"):
-            return "lagrange"
-    except Exception:
-        pass
-    return "ad"
+    """Default gradient route: the hand-structured Lagrange adjoint.
+
+    It wins everywhere: on TPU the remote compiler cannot handle
+    reverse-mode-of-scan programs at all (~unbounded compile time), and
+    even on CPU the Lagrange route is ~6-7x faster than AD-of-scan (2.97s
+    vs 19.9s for the CNOT3 order-4 gradient at nsteps=1000 — remat
+    recomputation plus scan-transpose overhead). ``method="ad"`` is kept as
+    an independent verification route; both agree to 1e-13
+    (tests/test_gradients.py)."""
+    return "lagrange"
 
 
 @partial(jax.jit, static_argnames=("order", "cost_type", "method"))
@@ -172,23 +169,23 @@ def _discrete_adjoint_lagrange(prob, controls, pcof, target, order, cost_type):
                             forcing=forcing)
 
     # (5) gradient accumulation (:150-158): per-step VJP of the residual,
-    # contracted with lambda_{n+1}; summed by scan.
-    def accum(carry, xs):
-        t_n, t_np1, w_n, w_np1, lam_np1 = xs
+    # contracted with lambda_{n+1}. The sum over steps has no sequential
+    # dependency, so it runs as one batched (vmapped) computation — unlike
+    # the reference's serial per-step loop
+    # (src/eval_grad_discrete_adjoint.jl:614-639).
+    def contrib(t_n, t_np1, w_n, w_np1, lam_np1):
         _, vjp = jax.vjp(
             lambda pc: _step_residual(prob, controls, pc, t_n, t_np1, dt,
                                       w_n, w_np1, m),
             pcof)
         (g,) = vjp(lam_np1)
-        return carry + g, None
+        return g
 
-    init = jnp.zeros_like(pcof)
-    xs = (ts[:-1], ts[1:], history[:-1], history[1:], lam_hist[1:])
-    # lambda enters with a minus: J includes the constraint
-    # LHS w_{n+1} - RHS w_n = 0 with multiplier -lambda (see adjoint.py
-    # docstring derivation); equivalently dJ/dtheta = +sum lambda^T d(residual).
-    grad, _ = jax.lax.scan(accum, init, xs)
-    return grad
+    contribs = jax.vmap(contrib)(ts[:-1], ts[1:], history[:-1], history[1:],
+                                 lam_hist[1:])
+    # dJ/dtheta = +sum_n lambda_{n+1}^T d(residual_n)/dtheta (Lagrangian
+    # with multiplier -lambda on the constraint LHS w_{n+1} - RHS w_n = 0).
+    return jnp.sum(contribs, axis=0)
 
 
 @partial(jax.jit, static_argnames=("order", "cost_type", "return_forcing"))

@@ -120,14 +120,22 @@ def optimize_gate(prob, controls, pcof_init, target, *, order: int = 4,
                   method: str = "lbfgsb",
                   filename: str | None = None,
                   print_level: int = 5,
-                  cost_type: str = "Infidelity") -> OptimizationHistory:
+                  cost_type: str = "Infidelity",
+                  resume_from: str | None = None) -> OptimizationHistory:
     """Optimize the control vector (reference ``optimize_gate``,
     src/ipopt_optimal_control.jl:187-471).
 
     ``pcof_L``/``pcof_U``: box bounds, scalar or per-parameter vector
-    (:389-460). Returns the :class:`OptimizationHistory`.
+    (:389-460). ``resume_from``: a history checkpoint basename; restarts
+    from its last pcof and keeps appending to the loaded history (the
+    reference's resume is manual re-launch with the last pcof,
+    SURVEY.md §5). Returns the :class:`OptimizationHistory`.
     """
     controls = as_control_tuple(controls)
+    resumed = None
+    if resume_from is not None:
+        resumed = OptimizationHistory.load(resume_from)
+        pcof_init = resumed.pcof[-1]
     pcof0 = np.asarray(pcof_init, dtype=np.float64)
     n = pcof0.size
 
@@ -157,9 +165,9 @@ def optimize_gate(prob, controls, pcof_init, target, *, order: int = 4,
         grad = grad + 2.0 * ridge_penalty_strength * pc / pc.shape[0]
         return j1 + guard + ridge, (j1, guard, ridge), grad
 
-    history = OptimizationHistory()
+    history = resumed if resumed is not None else OptimizationHistory()
     t_start = time.perf_counter()
-    state = dict(it=0)
+    state = dict(it=history.iter_count[-1] + 1 if history.iter_count else 0)
 
     def eval_and_record(pc):
         val, (j1, guard, ridge), grad = value_parts_and_grad(jnp.asarray(pc))

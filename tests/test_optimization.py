@@ -84,3 +84,20 @@ def test_optax_lbfgs_method():
     assert hist.obj_value[hist.best_index] < 1e-6
     amp = np.hypot(*hist.best_pcof)
     assert abs(amp - 0.5) < 5e-3
+
+
+def test_resume_from_checkpoint(tmp_path):
+    """Checkpoint/resume: restart continues from the saved pcof and appends
+    to the loaded history."""
+    prob = construct_rabi_prob(nsteps=20)
+    control = GRAPEControl(1, float(prob.tf))
+    ck = str(tmp_path / "resume_ck")
+    h1 = optimize_gate(prob, control, jnp.asarray([0.40, 0.08]),
+                       _swap_target(), order=4, maxIter=3, print_level=0,
+                       filename=ck)
+    n1 = len(h1.obj_value)
+    h2 = optimize_gate(prob, control, jnp.asarray([0.0, 0.0]),  # ignored
+                       _swap_target(), order=4, maxIter=3, print_level=0,
+                       resume_from=ck)
+    assert len(h2.obj_value) > n1
+    np.testing.assert_allclose(h2.pcof[n1], h1.pcof[-1])
