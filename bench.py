@@ -43,11 +43,10 @@ def measure():
     import jax.numpy as jnp
     import numpy as np
     import qgd_tpu
-    from qgd_tpu.adjoint import discrete_adjoint
-    from qgd_tpu.objective import objective_parts
+    from qgd_tpu.adjoint import objective_and_gradient
 
     backend = jax.default_backend()
-    scenarios = SCENARIOS if backend in ("tpu", "axon") else 4
+    scenarios = SCENARIOS if backend in ("tpu", "axon") else 1
 
     prob = qgd_tpu.models.cnot3_problem(nsteps=NSTEPS)
     controls = tuple(qgd_tpu.BSpline2Control(10, float(prob.tf))
@@ -58,12 +57,9 @@ def measure():
     tgt = jnp.asarray(
         rng2.standard_normal((64, 8)) + 1j * rng2.standard_normal((64, 8)))
 
-    method = ("lagrange" if backend in ("tpu", "axon") else "ad")
-
     def one(pc):
-        j1, guard, _ = objective_parts(prob, controls, pc, tgt, ORDER)
-        grad = discrete_adjoint(prob, controls, pc, tgt, ORDER,
-                                method=method)
+        (j1, guard, _), grad = objective_and_gradient(
+            prob, controls, pc, tgt, ORDER)
         return j1 + guard, grad
 
     fn = jax.jit(jax.vmap(one))
@@ -78,7 +74,8 @@ def measure():
         jax.block_until_ready(out)
     elapsed = (time.perf_counter() - t0) / reps
 
-    total_steps = 3 * NSTEPS * scenarios
+    # objective+gradient = forward sweep + adjoint sweep (+ accumulation)
+    total_steps = 2 * NSTEPS * scenarios
     print(json.dumps({
         "_worker": True,
         "backend": backend,

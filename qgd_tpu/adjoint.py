@@ -138,23 +138,65 @@ def compute_terminal_condition(prob, controls, pcof, target, final_state,
 
 
 def _step_residual(prob, controls, pcof, t_n, t_np1, dt, w_n, w_np1, m):
-    """``RHS_n(theta) w_n - LHS_{n+1}(theta) w_{n+1}`` as a function of pcof."""
+    """``RHS_n(theta) w_n - LHS_{n+1}(theta) w_{n+1}`` as a function of pcof,
+    evaluated in the problem's working dtype (f32 in fast mode)."""
+    from .problem import working_problem
+
+    wd = prob.work_dtype
+    prob = working_problem(prob)
     p_n, q_n = control_tables_at(controls, pcof, t_n, m)
     p_np1, q_np1 = control_tables_at(controls, pcof, t_np1, m)
+    p_n, q_n = p_n.astype(wd), q_n.astype(wd)
+    p_np1, q_np1 = p_np1.astype(wd), q_np1.astype(wd)
+    dt = jnp.asarray(dt, wd)
     A_n = assemble_generator_stack(prob, p_n, q_n, m)
     A_np1 = assemble_generator_stack(prob, p_np1, q_np1, m)
-    rhs = build_rhs(scaled_derivatives(A_n, w_n, m), dt, m)
-    lhs = build_lhs(scaled_derivatives(A_np1, w_np1, m), dt, m)
+    rhs = build_rhs(scaled_derivatives(A_n, w_n.astype(wd), m), dt, m)
+    lhs = build_lhs(scaled_derivatives(A_np1, w_np1.astype(wd), m), dt, m)
     return rhs - lhs
 
 
-def _discrete_adjoint_lagrange(prob, controls, pcof, target, order, cost_type):
+@partial(jax.jit, static_argnames=("order", "cost_type",
+                                   "ridge_penalty_strength"))
+def objective_and_gradient(prob, controls, pcof, target, order: int = 4,
+                           cost_type: str = "Infidelity",
+                           ridge_penalty_strength: float = 0.0):
+    """One forward solve shared between the objective and its Lagrange
+    gradient (the reference arranges the same sharing with its
+    ``history_precomputed`` flag + pcof-memoization tracker,
+    src/eval_grad_discrete_adjoint.jl:107-130,
+    src/ipopt_optimal_control.jl:1-19).
+
+    Returns ``((j1, guard, ridge), grad)`` with the ridge term and its
+    gradient included.
+    """
+    from .objective import guard_penalty_real
+
+    controls = as_control_tuple(controls)
+    pcof = jnp.asarray(pcof, dtype=jnp.float64)
+    target_real = _realify_target(prob, target)
+    history = eval_forward(prob, controls, pcof, order)
+    dt = prob.tf / prob.nsteps
+    j1 = terminal_cost(history[-1], target_real, prob.N_ess_levels, cost_type)
+    guard = guard_penalty_real(history, dt, prob.tf,
+                               prob.guard_subspace_projector)
+    ridge = ridge_penalty_strength * jnp.vdot(pcof, pcof) / pcof.shape[0]
+    grad = _discrete_adjoint_lagrange(prob, controls, pcof, target, order,
+                                      cost_type, history=history)
+    grad = grad + 2.0 * ridge_penalty_strength * pcof / pcof.shape[0]
+    return (j1, guard, ridge), grad
+
+
+def _discrete_adjoint_lagrange(prob, controls, pcof, target, order, cost_type,
+                               history=None):
     """Hand-structured discrete adjoint; see module docstring item (2)."""
     m = order // 2
     dt, ts = _time_grid(prob)
 
-    # (1) forward history (src/eval_grad_discrete_adjoint.jl:130)
-    history = eval_forward(prob, controls, pcof, order)
+    # (1) forward history (src/eval_grad_discrete_adjoint.jl:130), reused
+    # from the objective evaluation when provided
+    if history is None:
+        history = eval_forward(prob, controls, pcof, order)
 
     # (2) guard forcing (:134)
     forcing = compute_guard_forcing(prob, history)

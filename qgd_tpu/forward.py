@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from .controls import control_tables, as_control_tuple
+from .problem import working_problem
 from .ops.hermite import (
     assemble_generator_stack,
     scaled_derivatives,
@@ -80,7 +81,7 @@ def _stage_matrices(prob, m, dt, P, Q, sign: float):
     time points whose control tables are ``P, Q (T, m, N_ops)`` — the fully
     parallel, state-independent precompute (MXU-saturating batched matmuls),
     hoisted out of the sequential scan."""
-    eye = jnp.eye(prob.real_system_size, dtype=jnp.float64)
+    eye = jnp.eye(prob.real_system_size, dtype=prob.system_sym.dtype)
 
     def build(p, q):
         A = assemble_generator_stack(prob, p, q, m)
@@ -173,6 +174,11 @@ def hermite_forward_history(prob, controls, pcof, order: int = 2,
     m = order // 2
     dt, ts = _time_grid(prob)
     P, Q = control_tables(controls, pcof, ts, m)
+    wd = prob.work_dtype
+    prob = working_problem(prob)
+    P, Q, dt = P.astype(wd), Q.astype(wd), dt.astype(wd)
+    if forcing is not None:
+        forcing = forcing.astype(wd)
     w0 = prob.w0
 
     precompute = _use_precomputed_stages(prob) if forcing is None else None
@@ -314,14 +320,17 @@ def eval_adjoint(prob, controls, pcof, terminal_condition, order: int = 2,
     m = order // 2
     dt, ts = _time_grid(prob)
     P, Q = control_tables(controls, pcof, ts, m)
-    eye = jnp.eye(prob.real_system_size, dtype=jnp.float64)
+    wd = prob.work_dtype
+    prob = working_problem(prob)
+    P, Q, dt = P.astype(wd), Q.astype(wd), dt.astype(wd)
+    eye = jnp.eye(prob.real_system_size, dtype=wd)
 
-    lam_N = terminal_condition
+    lam_N = terminal_condition.astype(wd)
     n = prob.nsteps
     if forcing is None:
-        f_mid = jnp.zeros((n - 1,) + lam_N.shape, dtype=jnp.float64)
+        f_mid = jnp.zeros((n - 1,) + lam_N.shape, dtype=wd)
     else:
-        f_mid = forcing[1:n]
+        f_mid = forcing[1:n].astype(wd)
 
     # Forward-executed scan over time-reversed inputs rather than
     # ``reverse=True``: the TPU remote compiler pessimizes reverse scans

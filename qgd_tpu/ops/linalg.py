@@ -67,25 +67,29 @@ def factorize_stages(M):
     ``M (T, n, n)`` — one ``getrf`` per timestep, all in parallel (this is
     the state-independent work hoisted out of the sequential scan).
 
-    Returns ``(lu, piv)`` batched; f32 on TPU (refined at solve time), f64
-    elsewhere.
+    Returns ``(lu, piv)`` batched; factors are f32 when the backend lacks
+    f64 LU or the stage matrices are already f32 (f32 propagation mode).
     """
-    dtype = jnp.float32 if _needs_mixed_precision() else jnp.float64
+    if M.dtype == jnp.float32 or _needs_mixed_precision():
+        dtype = jnp.float32
+    else:
+        dtype = jnp.float64
     lu, piv = jax.vmap(jsp_linalg.lu_factor)(M.astype(dtype))
     return lu, piv
 
 
 def solve_factored(M_n, lu_n, piv_n, b, refine_iters: int = 3):
     """Solve ``M_n x = b`` with a precomputed factorization of ``M_n``;
-    iterative refinement in f64 when the factors are f32. Wrapped in
+    iterative refinement when the factors are lower precision than the
+    right-hand side (f32 factors, f64 rhs). Wrapped in
     ``custom_linear_solve`` so AD solves the transposed system with the same
     factors (no differentiation through ``getrf``)."""
-    mixed = lu_n.dtype == jnp.float32
+    mixed = lu_n.dtype == jnp.float32 and b.dtype == jnp.float64
 
     def coarse(rhs, trans):
         r = rhs.astype(lu_n.dtype)
         return jsp_linalg.lu_solve((lu_n, piv_n), r,
-                                   trans=trans).astype(jnp.float64)
+                                   trans=trans).astype(b.dtype)
 
     def direct(rhs, trans):
         if not mixed:
@@ -103,9 +107,24 @@ def solve_factored(M_n, lu_n, piv_n, b, refine_iters: int = 3):
     )
 
 
+def direct_f32_solve(A, B):
+    """Plain f32 LU solve (native on every backend including TPU), wrapped
+    for exact AD transposes."""
+    lu, piv = jsp_linalg.lu_factor(A)
+
+    def solve(trans):
+        return lambda mv, rhs: jsp_linalg.lu_solve((lu, piv), rhs,
+                                                   trans=trans)
+
+    return lax.custom_linear_solve(
+        lambda v: A @ v, B, solve=solve(0), transpose_solve=solve(1))
+
+
 def stage_solve(A, B):
-    """Backend-dispatched dense solve of the implicit stage. ``A (n, n)``,
-    ``B (n, ...)``; both f64."""
+    """Backend/dtype-dispatched dense solve of the implicit stage.
+    ``A (n, n)``, ``B (n, ...)``."""
+    if A.dtype == jnp.float32:
+        return direct_f32_solve(A, B)
     if _needs_mixed_precision():
         return refined_lu_solve(A, B)
     return jnp.linalg.solve(A, B)
@@ -113,6 +132,9 @@ def stage_solve(A, B):
 
 def stage_solve_transposed(A, B):
     """Solve ``A^T X = B`` (terminal-condition / adjoint sweeps)."""
+    AT = jnp.swapaxes(A, -1, -2)
+    if A.dtype == jnp.float32:
+        return direct_f32_solve(AT, B)
     if _needs_mixed_precision():
-        return refined_lu_solve(jnp.swapaxes(A, -1, -2), B)
-    return jnp.linalg.solve(jnp.swapaxes(A, -1, -2), B)
+        return refined_lu_solve(AT, B)
+    return jnp.linalg.solve(AT, B)

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .controls import as_control_tuple
-from .objective import objective_parts
+from .objective import objective_parts  # noqa: F401  (re-exported for tests)
 
 
 @dataclass
@@ -148,21 +148,15 @@ def optimize_gate(prob, controls, pcof_init, target, *, order: int = 4,
     lower = _bounds_vec(pcof_L, -np.inf)
     upper = _bounds_vec(pcof_U, np.inf)
 
-    from .adjoint import discrete_adjoint
+    from .adjoint import objective_and_gradient
 
     @jax.jit
     def value_parts_and_grad(pc):
-        # Objective and gradient share one forward solve through AD (the
-        # role of the reference's pcof-keyed memoization tracker); the
-        # gradient route is backend-dependent (see
-        # adjoint.default_adjoint_method).
-        j1, guard, ridge = objective_parts(
-            prob, controls, pc, target, order,
-            ridge_penalty_strength=ridge_penalty_strength,
-            cost_type=cost_type)
-        grad = discrete_adjoint(prob, controls, pc, target, order,
-                                cost_type=cost_type)
-        grad = grad + 2.0 * ridge_penalty_strength * pc / pc.shape[0]
+        # Objective and gradient share one forward solve explicitly (the
+        # role of the reference's pcof-keyed memoization tracker).
+        (j1, guard, ridge), grad = objective_and_gradient(
+            prob, controls, pc, target, order, cost_type=cost_type,
+            ridge_penalty_strength=ridge_penalty_strength)
         return j1 + guard + ridge, (j1, guard, ridge), grad
 
     history = resumed if resumed is not None else OptimizationHistory()

@@ -162,7 +162,7 @@ def test_forward_rabi_analytic_swap():
     np.testing.assert_allclose(final_c, U, atol=1e-10)
 
 
-@pytest.mark.parametrize("order", [2, 4, 6, 8])
+@pytest.mark.parametrize("order", [2, 4, 6, 8, 10, 12])
 def test_forward_matches_expm(order):
     """Constant-Hamiltonian evolution must converge to the matrix
     exponential."""
@@ -177,5 +177,5 @@ def test_forward_matches_expm(order):
     Sc = S + (-0.21) * asym
     A = np.block([[Sc, Kc], [-Kc, Sc]])
     expected = expm(A * 1.0) @ np.asarray(prob.w0)
-    tol = {2: 1e-4, 4: 1e-8, 6: 1e-11, 8: 1e-12}[order]
+    tol = {2: 1e-4, 4: 1e-8, 6: 1e-11, 8: 1e-12, 10: 1e-12, 12: 1e-12}[order]
     np.testing.assert_allclose(np.asarray(hist[-1]), expected, atol=tol)
