@@ -1,0 +1,121 @@
+"""Pallas TPU kernels for the Hermite-step hot path (f32 production mode).
+
+The per-step compute is a chain of small matmuls with tiny intermediates —
+exactly the shape where XLA's per-op dispatch overhead dominates on TPU.
+These kernels fuse the whole chain in VMEM:
+
+* :func:`hermite_rhs_kernel_call` — the explicit half of a step: run the
+  Leibniz recursion ``W_{j+1} = 1/(j+1) sum_i A_{j-i} W_i`` and accumulate
+  ``RHS = sum_j dt^j c_j W_j`` in one kernel (reference hot loop:
+  compute_derivatives! + build_RHS!, src/forward_evolution.jl:163-184).
+* :func:`hermite_lhs_matrix_kernel_call` — materialize the implicit-stage
+  matrix ``LHS = sum_j (-dt)^j c_j D_j`` by the same recursion on the
+  identity.
+
+Both are batched over a leading axis (timesteps for precompute, scenarios
+for the step) via the Pallas grid. All operands for one grid cell fit in
+VMEM with room to spare (m * 2N * 2N f32 at 2N=128 is ~128 KB per
+derivative level).
+
+f32 only: the MXU has no f64; the f64 path uses the XLA implementation in
+qgd_tpu/ops/hermite.py. Correctness is locked by interpret-mode tests
+(tests/test_pallas.py) against that implementation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from .hermite import hermite_coefficients
+
+
+def _rhs_kernel(m, coeffs, a_ref, w_ref, dt_ref, out_ref):
+    """One grid cell: A_stack (m, n, n), W (n, b) -> RHS (n, b)."""
+    dt = dt_ref[0]
+    Ws = [w_ref[0]]
+    acc = coeffs[0] * Ws[0]
+    dt_pow = dt
+    for j in range(m):
+        s = jnp.dot(a_ref[0, j], Ws[0], preferred_element_type=jnp.float32)
+        for i in range(1, j + 1):
+            s = s + jnp.dot(a_ref[0, j - i], Ws[i],
+                            preferred_element_type=jnp.float32)
+        w_next = s / float(j + 1)
+        Ws.append(w_next)
+        acc = acc + (coeffs[j + 1] * dt_pow) * w_next
+        dt_pow = dt_pow * dt
+    out_ref[0] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("m", "interpret"))
+def hermite_rhs_kernel_call(A_stack, W, dt, m: int, interpret: bool = False):
+    """Fused explicit-half of the Hermite step.
+
+    ``A_stack (B, m, n, n)``, ``W (B, n, b)``, scalar ``dt`` -> ``(B, n, b)``.
+    ``B`` is the batch (scenario) grid axis.
+    """
+    coeffs = hermite_coefficients(m)
+    B, _, n, _ = A_stack.shape
+    b = W.shape[-1]
+    dt_arr = jnp.broadcast_to(jnp.asarray(dt, jnp.float32), (1,))
+    kernel = functools.partial(_rhs_kernel, m, coeffs)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, m, n, n), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, n, b), lambda i: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, n, b), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, n, b), jnp.float32),
+        interpret=interpret,
+    )(A_stack.astype(jnp.float32), W.astype(jnp.float32), dt_arr)
+
+
+def _lhs_kernel(m, coeffs, a_ref, dt_ref, out_ref):
+    """One grid cell: A_stack (m, n, n) -> LHS matrix (n, n)."""
+    dt = dt_ref[0]
+    n = out_ref.shape[-1]
+    eye = jnp.eye(n, dtype=jnp.float32)
+    Ds = [eye]
+    acc = coeffs[0] * eye
+    dt_pow = -dt
+    for j in range(m):
+        s = jnp.dot(a_ref[0, j], Ds[0], preferred_element_type=jnp.float32)
+        for i in range(1, j + 1):
+            s = s + jnp.dot(a_ref[0, j - i], Ds[i],
+                            preferred_element_type=jnp.float32)
+        d_next = s / float(j + 1)
+        Ds.append(d_next)
+        acc = acc + (coeffs[j + 1] * dt_pow) * d_next
+        dt_pow = dt_pow * (-dt)
+    out_ref[0] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("m", "interpret"))
+def hermite_lhs_matrix_kernel_call(A_stack, dt, m: int,
+                                   interpret: bool = False):
+    """Fused implicit-stage matrix materialization.
+
+    ``A_stack (B, m, n, n)``, scalar ``dt`` -> ``(B, n, n)`` LHS matrices.
+    """
+    coeffs = hermite_coefficients(m)
+    B, _, n, _ = A_stack.shape
+    dt_arr = jnp.broadcast_to(jnp.asarray(dt, jnp.float32), (1,))
+    kernel = functools.partial(_lhs_kernel, m, coeffs)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, m, n, n), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, n, n), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, n, n), jnp.float32),
+        interpret=interpret,
+    )(A_stack.astype(jnp.float32), dt_arr)

@@ -1,0 +1,47 @@
+"""Interpret-mode correctness tests for the Pallas fused Hermite-step
+kernels against the XLA reference implementation (qgd_tpu/ops/hermite.py)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from qgd_tpu.ops.hermite import (
+    scaled_derivatives,
+    build_rhs,
+    build_lhs,
+)
+from qgd_tpu.ops.pallas_step import (
+    hermite_rhs_kernel_call,
+    hermite_lhs_matrix_kernel_call,
+)
+
+
+@pytest.mark.parametrize("m", [1, 2, 3])
+def test_rhs_kernel_matches_reference(m):
+    rng = np.random.default_rng(0)
+    B, n, b = 3, 16, 4
+    A = jnp.asarray(rng.standard_normal((B, m, n, n)) * 0.3,
+                    dtype=jnp.float32)
+    W = jnp.asarray(rng.standard_normal((B, n, b)), dtype=jnp.float32)
+    dt = 0.05
+    out = np.asarray(hermite_rhs_kernel_call(A, W, dt, m, interpret=True))
+    for k in range(B):
+        Ws = scaled_derivatives(A[k], W[k], m)
+        expect = np.asarray(build_rhs(Ws, jnp.float32(dt), m))
+        np.testing.assert_allclose(out[k], expect, rtol=2e-6, atol=2e-6)
+
+
+@pytest.mark.parametrize("m", [1, 2, 3])
+def test_lhs_kernel_matches_reference(m):
+    rng = np.random.default_rng(1)
+    B, n = 2, 16
+    A = jnp.asarray(rng.standard_normal((B, m, n, n)) * 0.3,
+                    dtype=jnp.float32)
+    dt = 0.05
+    out = np.asarray(hermite_lhs_matrix_kernel_call(A, dt, m,
+                                                    interpret=True))
+    eye = jnp.eye(n, dtype=jnp.float32)
+    for k in range(B):
+        D = scaled_derivatives(A[k], eye, m)
+        expect = np.asarray(build_lhs(D, jnp.float32(dt), m))
+        np.testing.assert_allclose(out[k], expect, rtol=2e-6, atol=2e-6)
