@@ -26,13 +26,11 @@ are provided for API parity and tests.
 
 from __future__ import annotations
 
-import dataclasses
+import math
 from dataclasses import dataclass, field
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def _static(**kw):
@@ -175,14 +173,12 @@ def eval_p_derivative(control: Control, t, pcof, order: int):
     ``eval_p_derivative``)."""
     table = control.p_derivatives(
         jnp.asarray(t, jnp.float64), jnp.asarray(pcof, jnp.float64), order + 1)
-    import math
     return table[order] * math.factorial(order)
 
 
 def eval_q_derivative(control: Control, t, pcof, order: int):
     table = control.q_derivatives(
         jnp.asarray(t, jnp.float64), jnp.asarray(pcof, jnp.float64), order + 1)
-    import math
     return table[order] * math.factorial(order)
 
 

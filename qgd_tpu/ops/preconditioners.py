@@ -29,7 +29,7 @@ def no_control_lhs(prob, dt, order: int) -> jnp.ndarray:
     return build_lhs(D, dt, m)
 
 
-def identity_preconditioner(prob, dt, order: int, adjoint: bool = False):
+def identity_preconditioner(prob, dt, order: int):
     """No-op (reference ``IdentityPreconditioner``,
     src/preconditioners.jl:35-40)."""
     f = lambda v: v

@@ -21,6 +21,7 @@ per-iteration gradient all-reduce.
 """
 
 from .sharded import (
+    initialize_distributed,
     make_mesh,
     sharded_objective_and_grad,
     batched_objective_and_grad,
@@ -28,6 +29,7 @@ from .sharded import (
 )
 
 __all__ = [
+    "initialize_distributed",
     "make_mesh",
     "sharded_objective_and_grad",
     "batched_objective_and_grad",

@@ -21,6 +21,26 @@ from ..forward import eval_forward
 from ..objective import _realify_target, _target_T
 
 
+def initialize_distributed(coordinator_address=None, num_processes=None,
+                           process_id=None):
+    """Initialize multi-host JAX (``jax.distributed``) so
+    :func:`make_mesh` sees every host's devices. The scenario axis is the
+    natural cross-host (DCN) axis — scenarios never communicate; the ic
+    axis's scalar psums should stay within a host/slice (ICI).
+
+    No-op when already initialized or running single-process.
+    """
+    import jax
+
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id)
+    except RuntimeError:
+        pass  # already initialized
+
+
 def make_mesh(n_scenario: int = 1, n_ic: int = 1, devices=None) -> Mesh:
     """Build a ``(scenario, ic)`` device mesh from the available devices."""
     if devices is None:

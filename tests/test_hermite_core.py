@@ -179,3 +179,33 @@ def test_forward_matches_expm(order):
     expected = expm(A * 1.0) @ np.asarray(prob.w0)
     tol = {2: 1e-4, 4: 1e-8, 6: 1e-11, 8: 1e-12, 10: 1e-12, 12: 1e-12}[order]
     np.testing.assert_allclose(np.asarray(hist[-1]), expected, atol=tol)
+
+
+def test_forward_with_constant_forcing():
+    """Inhomogeneous evolution w' = A w + f with constant A, f has the
+    closed form w(t) = e^{At} w0 + A^{-1}(e^{At} - I) f — validates the
+    forcing machinery (reference forcing path,
+    src/forward_evolution.jl:195-206) end to end."""
+    from scipy.linalg import expm
+
+    prob, _, _, (K, S, sym, asym) = _toy_problem()
+    control = qgd_tpu.GRAPEControl(1, 1.0)
+    pcof = jnp.asarray([0.2, -0.1])
+    Kc = K + 0.2 * sym
+    Sc = S - 0.1 * asym
+    A = np.block([[Sc, Kc], [-Kc, Sc]])
+
+    rng = np.random.default_rng(7)
+    f0 = rng.standard_normal((4, 1))
+    nsteps, order, m = 64, 6, 3
+    p = prob.with_nsteps(nsteps)
+    # forcing spec: (nsteps+1, m, 2N, B) scaled derivatives f^{(j)}/j!;
+    # constant forcing has only level 0
+    forcing = np.zeros((nsteps + 1, m, 4, 1))
+    forcing[:, 0] = f0
+    hist = qgd_tpu.eval_forward(p, control, pcof, order,
+                                forcing=jnp.asarray(forcing))
+    eAt = expm(A * 1.0)
+    expected = eAt @ np.asarray(p.w0) + np.linalg.solve(
+        A, (eAt - np.eye(4)) @ f0)
+    np.testing.assert_allclose(np.asarray(hist[-1]), expected, atol=1e-11)
