@@ -102,10 +102,27 @@ def _run_worker(env_extra, timeout):
     return None
 
 
+def _tpu_tunnel_healthy(timeout=120) -> bool:
+    """Quick probe: a tiny device round-trip on the default backend. The
+    axon tunnel can die in a way where devices still enumerate but
+    transfers hang forever."""
+    code = ("import jax, jax.numpy as jnp, numpy as np;"
+            "x = jnp.asarray(np.ones((4,4)));"
+            "print('HEALTHY', float(np.asarray(x).sum()))")
+    try:
+        res = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True, timeout=timeout)
+    except subprocess.TimeoutExpired:
+        return False
+    return "HEALTHY" in res.stdout
+
+
 def main():
-    result = _run_worker({}, TPU_DEADLINE_S)
-    if result is None:
-        result = _run_worker({}, TPU_DEADLINE_S)   # retry once
+    result = None
+    if _tpu_tunnel_healthy():
+        result = _run_worker({}, TPU_DEADLINE_S)
+        if result is None:
+            result = _run_worker({}, TPU_DEADLINE_S)   # retry once
     suffix = ""
     if result is None:
         # TPU compile service unavailable: measure on CPU so the driver

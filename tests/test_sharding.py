@@ -94,3 +94,25 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     mod.dryrun_multichip(8)
+
+
+def test_state_sharded_tp_forward_matches_single_device():
+    """Tensor-parallel (level-sharded) propagation over a 4-way tp mesh
+    must match the single-device GMRES path to roundoff."""
+    import dataclasses
+    from qgd_tpu.parallel.state_sharded import make_tp_mesh, tp_forward_history
+
+    prob = rotating_frame_qubit(6, 2, tf=1.0, nsteps=15,
+                                detuning_frequency=0.3,
+                                self_kerr_coefficient=0.1)  # N=8, 2N=16
+    ctrl = BSpline2Control(4, 1.0)
+    rng = np.random.default_rng(4)
+    pcof = jnp.asarray(rng.standard_normal(8) * 0.2)
+
+    ref_prob = dataclasses.replace(prob, solver="gmres", gmres_iters=16)
+    h_ref = np.asarray(qgd_tpu.eval_forward(ref_prob, ctrl, pcof, 4))
+
+    mesh = make_tp_mesh(4)
+    h_tp = np.asarray(tp_forward_history(prob, ctrl, pcof, mesh, 4,
+                                         gmres_iters=16))
+    np.testing.assert_allclose(h_tp, h_ref, atol=1e-9)
