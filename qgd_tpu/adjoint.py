@@ -275,7 +275,12 @@ def eval_hessian(prob, controls, pcof, target, order: int = 2,
     pcof = jnp.asarray(pcof, dtype=jnp.float64)
     fn = lambda pc: _objective_fn(prob, controls, pc, target, order, cost_type)
     if method == "ad":
-        return jax.jacfwd(jax.grad(fn))(pcof)
+        # forward-over-Lagrange: jvp through the hand-structured adjoint
+        # (no reverse-mode-of-scan anywhere — TPU-compilable)
+        return jax.jacfwd(
+            lambda pc: discrete_adjoint(prob, controls, pc, target, order,
+                                        cost_type=cost_type,
+                                        method="lagrange"))(pcof)
     if method == "fd":
         eps = 1e-4
         n = pcof.shape[0]

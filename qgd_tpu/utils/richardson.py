@@ -65,6 +65,10 @@ def get_histories(prob, controls, pcof, N_iterations: int, *, orders=(2, 4),
             nsteps = base_nsteps * nsteps_change_factor ** k
             p = prob.with_nsteps(nsteps)
             save_every = nsteps_change_factor ** k
+            # warm the jit cache so `elapsed` measures the solve, not XLA
+            # compilation (the reference's @elapsed has no compile phase)
+            jax.block_until_ready(
+                eval_forward(p, controls, pcof, order, save_every=save_every))
             t0 = time.perf_counter()
             hist = eval_forward(p, controls, pcof, order,
                                 save_every=save_every)

@@ -110,3 +110,18 @@ def test_timestep_estimation():
     errs = qgd_tpu.estimate_timesteps_per_period(
         prob, [0.5], 4, resolutions=[4, 8, 16])
     assert errs[-1] < errs[0]
+
+
+def test_runtime_ratios_synthetic():
+    """get_runtime_ratios log-log interpolation on synthetic sweeps
+    (reference test_convergence.jl:256-312)."""
+    from qgd_tpu.utils.richardson import get_runtime_ratios, find_target_y
+
+    ours = {"Order 4": dict(rel_errs=[1e-5, 1e-6, 1e-8],
+                            elapsed=[0.05, 0.1, 0.2, 0.4])}
+    ref = {"Order 2": dict(rel_errs=[1e-6, 1e-7, 1e-8],
+                           elapsed=[0.5, 1.0, 2.0, 4.0])}
+    ratios = get_runtime_ratios(ours, ref, target_error=1e-7)
+    assert 0.0 < ratios["Order 4"] < 1.0  # ours reaches 1e-7 faster
+    # interpolation sanity: target at an endpoint returns that x
+    assert abs(find_target_y(1.0, 1e-6, 2.0, 1e-8, 1e-6) - 1.0) < 1e-12
