@@ -210,23 +210,45 @@ def _discrete_adjoint_lagrange(prob, controls, pcof, target, order, cost_type,
     lam_hist = eval_adjoint(prob, controls, pcof, lam_N, order,
                             forcing=forcing)
 
-    # (5) gradient accumulation (:150-158): per-step VJP of the residual,
-    # contracted with lambda_{n+1}. The sum over steps has no sequential
-    # dependency, so it runs as one batched (vmapped) computation — unlike
-    # the reference's serial per-step loop
-    # (src/eval_grad_discrete_adjoint.jl:614-639).
-    def contrib(t_n, t_np1, w_n, w_np1, lam_np1):
-        _, vjp = jax.vjp(
-            lambda pc: _step_residual(prob, controls, pc, t_n, t_np1, dt,
-                                      w_n, w_np1, m),
-            pcof)
-        (g,) = vjp(lam_np1)
+    # (5) gradient accumulation (:150-158):
+    # dJ/dtheta = +sum_n lambda_{n+1}^T d/dtheta [RHS_n w_n - LHS_{n+1} w_{n+1}]
+    # (Lagrangian with multiplier -lambda on LHS w_{n+1} - RHS w_n = 0).
+    # Both RHS_n (used by step n) and LHS_n (used by step n-1) are linear
+    # combinations of the SAME derivative stack W_j(t_n, w_n), so each time
+    # point needs exactly ONE stack VJP with the combined cotangent
+    #   cot_j(t_k) = dt^j c_j lambda_{k+1}  -  (-dt)^j c_j lambda_k
+    # (RHS term absent at k=N, LHS term absent at k=0 where lambda_0 = 0).
+    # This halves the recursion-transpose work vs differentiating each
+    # step's residual separately, and the sum over time points has no
+    # sequential dependency — one batched vmap, unlike the reference's
+    # serial per-step loop (src/eval_grad_discrete_adjoint.jl:614-639).
+    from .ops.hermite import hermite_coefficients
+
+    c = jnp.asarray(hermite_coefficients(m), dtype=jnp.float64)
+    jpow = jnp.arange(m + 1, dtype=jnp.float64)
+    w_rhs = c * dt ** jpow            # (m+1,) RHS weights  dt^j c_j
+    w_lhs = c * (-dt) ** jpow         # (m+1,) LHS weights  (-dt)^j c_j
+
+    lam_next = jnp.concatenate(      # lambda_{k+1}; zero beyond the end
+        [lam_hist[1:], jnp.zeros_like(lam_hist[:1])], axis=0)
+    # cot (T, m+1, 2N, B)
+    cot = (w_rhs[None, :, None, None] * lam_next[:, None]
+           - w_lhs[None, :, None, None] * lam_hist[:, None])
+
+    def stack_fn(pc, t, w):
+        p_t, q_t = control_tables_at(controls, pc, t, m)
+        wd = prob.work_dtype
+        from .problem import working_problem
+        A = assemble_generator_stack(working_problem(prob),
+                                     p_t.astype(wd), q_t.astype(wd), m)
+        return scaled_derivatives(A, w.astype(wd), m)
+
+    def contrib(t_k, w_k, cot_k):
+        _, vjp = jax.vjp(lambda pc: stack_fn(pc, t_k, w_k), pcof)
+        (g,) = vjp(cot_k.astype(prob.work_dtype))
         return g
 
-    contribs = jax.vmap(contrib)(ts[:-1], ts[1:], history[:-1], history[1:],
-                                 lam_hist[1:])
-    # dJ/dtheta = +sum_n lambda_{n+1}^T d(residual_n)/dtheta (Lagrangian
-    # with multiplier -lambda on the constraint LHS w_{n+1} - RHS w_n = 0).
+    contribs = jax.vmap(contrib)(ts, history, cot)
     return jnp.sum(contribs, axis=0)
 
 
