@@ -243,12 +243,21 @@ def _discrete_adjoint_lagrange(prob, controls, pcof, target, order, cost_type,
                                      p_t.astype(wd), q_t.astype(wd), m)
         return scaled_derivatives(A, w.astype(wd), m)
 
-    def contrib(t_k, w_k, cot_k):
+    def contrib(args):
+        t_k, w_k, cot_k = args
         _, vjp = jax.vjp(lambda pc: stack_fn(pc, t_k, w_k), pcof)
         (g,) = vjp(cot_k.astype(prob.work_dtype))
         return g
 
-    contribs = jax.vmap(contrib)(ts, history, cot)
+    T = ts.shape[0]
+    if T <= 4096:
+        contribs = jax.vmap(lambda t, w, ct: contrib((t, w, ct)))(
+            ts, history, cot)
+    else:
+        # chunk the batched VJPs so long horizons (nsteps ~ 1e5) don't
+        # materialize T full derivative-stack residuals at once
+        contribs = jax.lax.map(contrib, (ts, history, cot),
+                               batch_size=1024)
     return jnp.sum(contribs, axis=0)
 
 
