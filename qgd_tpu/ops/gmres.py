@@ -16,8 +16,6 @@ matches its effective cost without the dynamism.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import lax

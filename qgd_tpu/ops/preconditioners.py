@@ -10,7 +10,6 @@ src/forward_evolution.jl:772-802 ``form_LHS_no_control``).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from .hermite import assemble_generator_stack, scaled_derivatives, build_lhs

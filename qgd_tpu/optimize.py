@@ -24,7 +24,6 @@ below ``stop_objective = 1e-7`` (:381-384).
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import time
 from dataclasses import dataclass, field as dfield
@@ -34,7 +33,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from .controls import as_control_tuple
-from .objective import objective_parts  # noqa: F401  (re-exported for tests)
 
 
 @dataclass
