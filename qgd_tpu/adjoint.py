@@ -134,6 +134,12 @@ def compute_terminal_condition(prob, controls, pcof, target, final_state,
     eye = jnp.eye(prob.real_system_size, dtype=jnp.float64)
     D = scaled_derivatives(A, eye, m)
     lhs_mat = build_lhs(D, dt, m)
+    if prob.solver == "schulz":
+        from .ops.linalg import inverse_stage_solve, schulz_inverse_auto
+
+        MT = lhs_mat.T
+        return inverse_stage_solve(
+            MT, schulz_inverse_auto(MT, prob.schulz_iters), g)
     return stage_solve_transposed(lhs_mat, g)
 
 

@@ -42,6 +42,8 @@ from .ops.linalg import (
     stage_solve_transposed,
     factorize_stages,
     solve_factored,
+    schulz_inverse_auto,
+    inverse_stage_solve,
 )
 
 # Hoisting the per-step LHS matrices + factorizations out of the scan
@@ -55,15 +57,24 @@ def _use_precomputed_stages(prob) -> str | None:
     * ``"full"`` — stage matrices AND batched LU factorizations (CPU; the
       batched ``getrf`` wedges the axon TPU remote compiler).
     * ``"mats"`` — stage matrices only; factorize per step inside the scan.
+    * ``"schulz"`` — stage matrices AND their Newton–Schulz approximate
+      inverses (matmul-only — safe to batch/vmap on every backend,
+      including under scenario-vmap on TPU where batched ``getrf`` wedges
+      the axon remote compiler).
     * ``None`` — build everything in the scan body (iterative solver, or
       memory cap exceeded, or TPU).
 
-    On the axon TPU backend the conservative in-scan path is used: the
-    remote compiler wedges on batched ``getrf`` (``"full"``) and has not
-    yet been validated on ``"mats"`` (every failed compile poisons the
-    serialized compile queue for ~30+ min, making validation expensive —
-    revisit with dedicated chip time).
+    On the axon TPU backend with ``solver="lu"`` the conservative in-scan
+    path is used: the remote compiler wedges on batched ``getrf``
+    (``"full"``) and has not yet been validated on ``"mats"`` (every failed
+    compile poisons the serialized compile queue for ~30+ min). Use
+    ``solver="schulz"`` for hoisted, vmappable TPU stage solves.
     """
+    if prob.solver == "schulz":
+        n2 = prob.real_system_size
+        if 3 * prob.nsteps * n2 * n2 * 8 > _PRECOMPUTE_BYTES_LIMIT:
+            return None
+        return "schulz"
     if prob.solver != "lu":
         return None
     n2 = prob.real_system_size
@@ -152,6 +163,12 @@ def _hermite_step(prob, m, dt, w, pq_n, pq_np1, forcing_n, forcing_np1,
         w_next = hermite_gmres_stage(apply_lhs, apply_lhs_T, rhs, x0,
                                      iters=prob.gmres_iters, precond=pc,
                                      precond_T=pc_T)
+    elif prob.solver == "schulz":
+        eye = jnp.eye(prob.real_system_size, dtype=w.dtype)
+        D = scaled_derivatives(A_np1, eye, m)
+        lhs_mat = build_lhs(D, dt, m)
+        X = schulz_inverse_auto(lhs_mat, prob.schulz_iters)
+        w_next = inverse_stage_solve(lhs_mat, X, rhs)
     else:
         eye = jnp.eye(prob.real_system_size, dtype=w.dtype)
         D = scaled_derivatives(A_np1, eye, m)
@@ -200,6 +217,18 @@ def hermite_forward_history(prob, controls, pcof, order: int = 2,
                 return w_next, w_next
 
             xs = ((P[:-1], Q[:-1]), lhs_mats, lu, piv)
+        elif precompute == "schulz":
+            Xs = schulz_inverse_auto(lhs_mats, prob.schulz_iters)
+
+            def step_fast(w, xs):
+                pq_n, M, X = xs
+                A_n = assemble_generator_stack(prob, pq_n[0], pq_n[1], m)
+                Ws = scaled_derivatives(A_n, w, m)
+                rhs = build_rhs(Ws, dt, m)
+                w_next = inverse_stage_solve(M, X, rhs)
+                return w_next, w_next
+
+            xs = ((P[:-1], Q[:-1]), lhs_mats, Xs)
         else:
             def step_fast(w, xs):
                 pq_n, M = xs
@@ -356,6 +385,16 @@ def eval_adjoint(prob, controls, pcof, terminal_condition, order: int = 2,
 
             xs = (rhs_mats[::-1], lhs_T[::-1], lu[::-1], piv[::-1],
                   f_mid[::-1])
+        elif precompute == "schulz":
+            XT = schulz_inverse_auto(lhs_T, prob.schulz_iters)
+
+            def step_fast(lam, xs):
+                R, MT, X, f_n = xs
+                mu = jnp.swapaxes(R, -1, -2) @ lam + f_n
+                lam_prev = inverse_stage_solve(MT, X, mu)
+                return lam_prev, lam_prev
+
+            xs = (rhs_mats[::-1], lhs_T[::-1], XT[::-1], f_mid[::-1])
         else:
             def step_fast(lam, xs):
                 R, MT, f_n = xs
@@ -376,7 +415,12 @@ def eval_adjoint(prob, controls, pcof, terminal_condition, order: int = 2,
             mu = rhs_mat.T @ lam + f_n
             # lambda_n = LHS_n^{-T} mu_n
             lhs_mat = build_lhs(D_n, dt, m)
-            lam_prev = stage_solve_transposed(lhs_mat, mu)
+            if prob.solver == "schulz":
+                MT = lhs_mat.T
+                lam_prev = inverse_stage_solve(
+                    MT, schulz_inverse_auto(MT, prob.schulz_iters), mu)
+            else:
+                lam_prev = stage_solve_transposed(lhs_mat, mu)
             return lam_prev, lam_prev
 
         xs = ((P[1:n][::-1], Q[1:n][::-1]), f_mid[::-1])

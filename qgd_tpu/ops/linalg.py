@@ -107,6 +107,79 @@ def solve_factored(M_n, lu_n, piv_n, b, refine_iters: int = 3):
     )
 
 
+def schulz_inverse(M, X0, iters: int = 8):
+    """Newton–Schulz iteration ``X <- X (2I - M X)`` for the inverse of
+    ``M`` — matmul-only, so it batches under ``vmap`` on TPU where a
+    vmapped ``getrf`` wedges the axon remote compiler (the documented
+    failure mode; see CLAUDE.md).
+
+    Converges quadratically when ``||I - M X0|| < 1``. The implicit Hermite
+    stage supplies an excellent warm start: the inverse of the *drift-only*
+    stage matrix (control terms are an O(dt * amplitude) perturbation), the
+    same observation behind the reference's ``LUPreconditioner``
+    (src/preconditioners.jl:44-55). Iteration count is static; converged
+    iterations are numerically idempotent.
+    """
+    eye = jnp.eye(M.shape[-1], dtype=M.dtype)
+    X = X0
+    for _ in range(iters):
+        X = X @ (2.0 * eye - M @ X)
+    return X
+
+
+def schulz_universal_init(M):
+    """Initial guess ``X0 = M^T / (||M||_1 ||M||_inf)`` for which the
+    Newton–Schulz iteration provably converges for any nonsingular ``M``
+    (``rho(I - M X0) < 1``). Pure arithmetic — no LAPACK anywhere, so the
+    whole inverse pipeline stays vmap-safe on the axon TPU compiler."""
+    MT = jnp.swapaxes(M, -1, -2)
+    n1 = jnp.max(jnp.sum(jnp.abs(M), axis=-2), axis=-1)
+    ninf = jnp.max(jnp.sum(jnp.abs(M), axis=-1), axis=-1)
+    return MT / (n1 * ninf)[..., None, None]
+
+
+def schulz_inverse_auto(M, iters: int = 16, dtype=jnp.float32, X0=None):
+    """Approximate inverse of ``M`` by Newton–Schulz, computed in ``dtype``
+    (f32: MXU-native). ``X0`` warm-starts the iteration (e.g. the inverse
+    of the drift-only stage matrix, a control-sized perturbation away);
+    otherwise the universal init is used, which converges for any
+    nonsingular ``M`` but needs ~``2 log2(cond(M))`` extra iterations."""
+    M32 = M.astype(dtype)
+    if X0 is None:
+        X0 = schulz_universal_init(M32)
+        iters = iters + 40   # universal init: budget for the cond(M) ramp
+    else:
+        X0 = jnp.broadcast_to(X0.astype(dtype), M32.shape)
+    return schulz_inverse(M32, X0, iters)
+
+
+def inverse_stage_solve(M, Xinv, B, refine_iters: int = 4):
+    """Solve ``M X = B`` given an approximate inverse ``Xinv`` (typically
+    f32 from :func:`schulz_inverse`), recovering the right-hand side's
+    precision by iterative refinement with residuals in ``B.dtype``:
+    ``x <- x + Xinv (b - M x)``, error contraction ``||I - Xinv M||`` per
+    sweep. Matmul-only (MXU path, vmap-safe on TPU). Wrapped in
+    ``custom_linear_solve`` so reverse-mode AD solves the transposed system
+    with ``Xinv^T`` — the discrete adjoint's transposed-LHS solve."""
+    bd = B.dtype
+
+    def refine(rhs, trans):
+        Mop = jnp.swapaxes(M, -1, -2) if trans else M
+        Xop = jnp.swapaxes(Xinv, -1, -2) if trans else Xinv
+        Xop = Xop.astype(bd)
+        x = Xop @ rhs
+        for _ in range(refine_iters):
+            r = rhs - Mop @ x
+            x = x + Xop @ r
+        return x
+
+    return lax.custom_linear_solve(
+        lambda v: M @ v, B,
+        solve=lambda mv, rhs: refine(rhs, False),
+        transpose_solve=lambda mv, rhs: refine(rhs, True),
+    )
+
+
 def direct_f32_solve(A, B):
     """Plain f32 LU solve (native on every backend including TPU), wrapped
     for exact AD transposes."""

@@ -77,6 +77,12 @@ class SchrodingerProblem:
     gmres_abstol: float = field(default=1e-10, metadata=dict(static=True))
     gmres_reltol: float = field(default=1e-10, metadata=dict(static=True))
     gmres_iters: int = field(default=20, metadata=dict(static=True))
+    # Newton-Schulz iteration count for ``solver="schulz"`` — the
+    # matmul-only batched stage solver (the TPU path that survives vmap
+    # over control-vector scenarios, where a batched getrf wedges the
+    # axon remote compiler). 16 from-universal-init iterations reach f32
+    # inverse accuracy for the well-conditioned Hermite stage matrices.
+    schulz_iters: int = field(default=16, metadata=dict(static=True))
     preconditioner_type: str = field(default="identity",
                                      metadata=dict(static=True))
     # Propagation dtype: "float64" (default; required for the 1e-14

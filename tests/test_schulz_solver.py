@@ -1,0 +1,89 @@
+"""Newton–Schulz batched stage solver (``solver="schulz"``) — the
+matmul-only implicit-stage solve used on TPU whenever the program is
+vmapped over control-vector scenarios (a vmapped ``getrf`` wedges the axon
+remote compiler; see qgd_tpu/ops/linalg.py). Must agree with the exact LU
+path to near-f64 and survive vmap + AD."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import qgd_tpu
+from qgd_tpu.adjoint import objective_and_gradient, discrete_adjoint
+from qgd_tpu.ops.linalg import (
+    schulz_inverse_auto,
+    inverse_stage_solve,
+)
+
+
+def _cnot_like(nsteps):
+    prob = qgd_tpu.models.rotating_frame_qubit(
+        4, 2, tf=3.0, nsteps=nsteps, detuning_frequency=0.7,
+        self_kerr_coefficient=0.3)
+    control = qgd_tpu.BSpline2Control(5, 3.0)
+    rng = np.random.default_rng(3)
+    pcof = jnp.asarray(rng.standard_normal(10) * 0.3)
+    N = prob.N_tot_levels
+    tgt = jnp.asarray(rng.standard_normal((N, 4))
+                      + 1j * rng.standard_normal((N, 4)))
+    return prob, control, pcof, tgt
+
+
+def test_schulz_inverse_accuracy():
+    rng = np.random.default_rng(0)
+    A = np.eye(16) + 0.3 * rng.standard_normal((16, 16))
+    X = schulz_inverse_auto(jnp.asarray(A), 16)
+    assert np.max(np.abs(np.asarray(X) @ A - np.eye(16))) < 1e-4   # f32 floor
+    b = jnp.asarray(rng.standard_normal((16, 3)))
+    x = inverse_stage_solve(jnp.asarray(A), X, b)
+    assert np.max(np.abs(A @ np.asarray(x) - np.asarray(b))) < 1e-13
+
+
+@pytest.mark.parametrize("order", [2, 4, 8])
+def test_schulz_matches_lu_forward_and_gradient(order):
+    prob, control, pcof, tgt = _cnot_like(40)
+    ps = dataclasses.replace(prob, solver="schulz")
+    h_lu = qgd_tpu.eval_forward(prob, control, pcof, order)
+    h_s = qgd_tpu.eval_forward(ps, control, pcof, order)
+    assert np.max(np.abs(np.asarray(h_lu - h_s))) < 1e-12
+
+    (j1, g, _), gr_lu = objective_and_gradient(prob, control, pcof, tgt, order)
+    (j1s, gs, _), gr_s = objective_and_gradient(ps, control, pcof, tgt, order)
+    assert abs(float(j1 + g - j1s - gs)) < 1e-12
+    scale = np.max(np.abs(np.asarray(gr_lu)))
+    assert np.max(np.abs(np.asarray(gr_lu - gr_s))) / scale < 1e-11
+
+
+def test_schulz_vmapped_scenarios():
+    """The production TPU bench shape: vmap over pcof scenarios."""
+    prob, control, pcof, tgt = _cnot_like(20)
+    ps = dataclasses.replace(prob, solver="schulz")
+    rng = np.random.default_rng(9)
+    pcofs = jnp.asarray(rng.standard_normal((3, 10)) * 0.2)
+
+    def one(solver_prob):
+        def f(pc):
+            (j1, g, _), gr = objective_and_gradient(
+                solver_prob, control, pc, tgt, 4)
+            return j1 + g, gr
+        return jax.jit(jax.vmap(f))(pcofs)
+
+    obj_lu, gr_lu = one(prob)
+    obj_s, gr_s = one(ps)
+    np.testing.assert_allclose(np.asarray(obj_s), np.asarray(obj_lu),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(gr_s), np.asarray(gr_lu),
+                               rtol=0, atol=1e-10)
+
+
+def test_schulz_adjoint_vs_forced_exactness():
+    """The reference's exactness gate holds on the schulz path itself."""
+    prob, control, pcof, tgt = _cnot_like(10)
+    ps = dataclasses.replace(prob, solver="schulz")
+    ga = discrete_adjoint(ps, control, pcof, tgt, 4)
+    gf = qgd_tpu.eval_grad_forced(ps, control, pcof, tgt, 4)
+    scale = np.max(np.abs(np.asarray(gf)))
+    assert np.max(np.abs(np.asarray(ga - gf))) / scale < 1e-12
