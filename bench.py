@@ -39,6 +39,8 @@ TPU_DEADLINE_S = 1200
 def measure():
     """Worker: compile + time the benchmark on the current backend; prints
     an intermediate JSON line with the raw steps/sec."""
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -49,6 +51,11 @@ def measure():
     scenarios = SCENARIOS if backend in ("tpu", "axon") else 1
 
     prob = qgd_tpu.models.cnot3_problem(nsteps=NSTEPS)
+    if backend in ("tpu", "axon"):
+        # Scenario-vmapped programs must avoid getrf entirely (a batched
+        # LU factorization wedges the axon remote compiler): use the
+        # matmul-only Newton-Schulz stage solver (qgd_tpu/ops/linalg.py).
+        prob = dataclasses.replace(prob, solver="schulz")
     controls = tuple(qgd_tpu.BSpline2Control(10, float(prob.tf))
                      for _ in range(3))
     rng = np.random.default_rng(0)

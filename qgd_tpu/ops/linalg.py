@@ -121,10 +121,13 @@ def schulz_inverse(M, X0, iters: int = 8):
     iterations are numerically idempotent.
     """
     eye = jnp.eye(M.shape[-1], dtype=M.dtype)
-    X = X0
-    for _ in range(iters):
-        X = X @ (2.0 * eye - M @ X)
-    return X
+
+    def body(_, X):
+        return X @ (2.0 * eye - M @ X)
+
+    # rolled loop (not unrolled Python) — keeps the HLO small; the axon
+    # remote compiler's time scales badly with program size
+    return lax.fori_loop(0, iters, body, X0)
 
 
 def schulz_universal_init(M):
