@@ -96,6 +96,7 @@ from .adjoint import (  # noqa: E402
 )
 from .optimize import (  # noqa: E402
     optimize_gate,
+    optimize_gate_multistart,
     OptimizationHistory,
     gradient_descent,
 )
@@ -197,6 +198,7 @@ __all__ = [
     "eval_hessian",
     "compute_terminal_condition",
     "optimize_gate",
+    "optimize_gate_multistart",
     "OptimizationHistory",
     "gradient_descent",
     "construct_rabi_prob",

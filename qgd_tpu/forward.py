@@ -102,6 +102,19 @@ def _stage_matrices(prob, m, dt, P, Q, sign: float):
     return jax.vmap(build)(P, Q)
 
 
+def _stage_matrices_both(prob, m, dt, P, Q):
+    """Both one-step matrices ``(RHS, LHS)`` from a single identity
+    recursion (the adjoint sweep needs both at every interior time point)."""
+    eye = jnp.eye(prob.real_system_size, dtype=prob.system_sym.dtype)
+
+    def build(p, q):
+        A = assemble_generator_stack(prob, p, q, m)
+        D = scaled_derivatives(A, eye, m)
+        return build_rhs(D, dt, m), build_lhs(D, dt, m)
+
+    return jax.vmap(build)(P, Q)
+
+
 def _make_preconditioner(prob, dt, order: int):
     """Build the (apply, apply_T) preconditioner pair for the GMRES stage
     from ``prob.preconditioner_type`` (reference selects the preconditioner
@@ -370,9 +383,8 @@ def eval_adjoint(prob, controls, pcof, terminal_condition, order: int = 2,
         # Hoisted state-independent work: RHS matrices and transposed-LHS
         # (and on CPU their factorizations) for t_1..t_{N-1}, batched
         # outside the scan.
-        rhs_mats = _stage_matrices(prob, m, dt, P[1:n], Q[1:n], 1.0)
-        lhs_T = jnp.swapaxes(
-            _stage_matrices(prob, m, dt, P[1:n], Q[1:n], -1.0), -1, -2)
+        rhs_mats, lhs_mats = _stage_matrices_both(prob, m, dt, P[1:n], Q[1:n])
+        lhs_T = jnp.swapaxes(lhs_mats, -1, -2)
 
         if precompute == "full":
             lu, piv = factorize_stages(lhs_T)

@@ -229,6 +229,77 @@ def _optax_lbfgs_loop(eval_and_record, silent_value, pcof0, lower, upper,
         pass
 
 
+def optimize_gate_multistart(prob, controls, pcofs_init, target, *,
+                             order: int = 4, pcof_L=None, pcof_U=None,
+                             maxIter: int = 50,
+                             ridge_penalty_strength: float = 1e-2,
+                             stop_objective: float = 1e-7,
+                             lbfgs_history: int = 40,
+                             print_level: int = 5,
+                             cost_type: str = "Infidelity"):
+    """Batched multi-start optimization: vmapped on-device L-BFGS over a
+    batch of initial control vectors ``pcofs_init (S, n)``.
+
+    This is the TPU-native replacement for the reference's scale-out
+    strategy — SLURM job arrays running one optimization per process
+    (examples/cnot3_optimize_gate.sb:13,28-47): every start advances in
+    lockstep inside ONE jitted update (vmapped L-BFGS direction + zoom
+    line search + projected box bounds), so a single chip optimizes S
+    scenarios at once; shard the batch axis over a mesh for more chips
+    (qgd_tpu/parallel). Starts that reach ``stop_objective`` are frozen
+    (their pcof stops moving) while the rest continue.
+
+    On TPU use ``solver="schulz"`` (matmul-only stage solves — a vmapped
+    LU factorization does not compile; see qgd_tpu/ops/linalg.py).
+
+    Returns ``(pcofs (S, n), objs (maxIter, S))`` — final parameters and
+    the per-iteration objective trajectories.
+    """
+    import optax
+
+    controls = as_control_tuple(controls)
+    pcofs = jnp.asarray(pcofs_init, dtype=jnp.float64)
+    S, n = pcofs.shape
+    lo = -jnp.inf if pcof_L is None else jnp.asarray(pcof_L)
+    hi = jnp.inf if pcof_U is None else jnp.asarray(pcof_U)
+
+    from .adjoint import objective_and_gradient
+
+    def value_fn(pc):
+        (j1, guard, ridge), _ = objective_and_gradient(
+            prob, controls, pc, target, order, cost_type=cost_type,
+            ridge_penalty_strength=ridge_penalty_strength)
+        return j1 + guard + ridge
+
+    opt = optax.lbfgs(memory_size=lbfgs_history)
+
+    def one_step(pc, st):
+        (j1, guard, ridge), grad = objective_and_gradient(
+            prob, controls, pc, target, order, cost_type=cost_type,
+            ridge_penalty_strength=ridge_penalty_strength)
+        val = j1 + guard + ridge
+        updates, st = opt.update(grad, st, pc, value=val, grad=grad,
+                                 value_fn=value_fn)
+        pc_new = jnp.clip(pc + updates, lo, hi)
+        # freeze converged starts
+        pc_new = jnp.where(val < stop_objective, pc, pc_new)
+        return pc_new, st, val
+
+    step = jax.jit(jax.vmap(one_step))
+    states = jax.vmap(opt.init)(pcofs)
+    objs = []
+    for it in range(maxIter):
+        pcofs, states, vals = step(pcofs, states)
+        vals_np = np.asarray(vals)
+        objs.append(vals_np)
+        if print_level >= 5:
+            print(f"iter {it:4d}  obj min {vals_np.min():.6e} "
+                  f"median {np.median(vals_np):.3e}")
+        if bool(np.all(vals_np < stop_objective)):
+            break
+    return pcofs, np.asarray(objs)
+
+
 def gradient_descent(prob, controls, pcof_init, target, *, order: int = 4,
                      learning_rate: float = 0.01, max_iter: int = 100,
                      cost_type: str = "Infidelity"):

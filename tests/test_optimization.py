@@ -101,3 +101,21 @@ def test_resume_from_checkpoint(tmp_path):
                        resume_from=ck)
     assert len(h2.obj_value) > n1
     np.testing.assert_allclose(h2.pcof[n1], h1.pcof[-1])
+
+
+def test_multistart_batched_lbfgs():
+    """Vmapped on-device L-BFGS multi-start (the reference's SLURM-array
+    scale-out as one jitted program), on the schulz solver the TPU path
+    uses."""
+    import dataclasses
+
+    prob = dataclasses.replace(construct_rabi_prob(nsteps=20),
+                               solver="schulz")
+    ctrl = GRAPEControl(1, float(prob.tf))
+    pcofs0 = jnp.asarray([[0.4, 0.1], [0.55, -0.05], [0.35, 0.2]])
+    pcofs, objs = qgd_tpu.optimize_gate_multistart(
+        prob, ctrl, pcofs0, _swap_target(), order=8, maxIter=60,
+        ridge_penalty_strength=0.0, print_level=0)
+    amps = np.hypot(np.asarray(pcofs)[:, 0], np.asarray(pcofs)[:, 1])
+    assert np.all(objs[-1] < 1e-6)
+    assert np.allclose(amps, 0.5, atol=5e-4)
