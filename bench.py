@@ -60,9 +60,11 @@ def measure():
                      for _ in range(3))
     rng = np.random.default_rng(0)
     pcofs = jnp.asarray(rng.standard_normal((scenarios, 60)) * 0.01)
+    # Keep the complex target as a HOST numpy array: complex128 device
+    # transfers hang the axon TPU tunnel; the library realifies targets
+    # host-side before they cross the jit boundary (objective.py).
     rng2 = np.random.default_rng(1)
-    tgt = jnp.asarray(
-        rng2.standard_normal((64, 8)) + 1j * rng2.standard_normal((64, 8)))
+    tgt = rng2.standard_normal((64, 8)) + 1j * rng2.standard_normal((64, 8))
 
     def one(pc):
         (j1, guard, _), grad = objective_and_gradient(

@@ -32,8 +32,9 @@ def main():
                      for _ in range(3))
     rng = np.random.default_rng(0)
     pcof = jnp.asarray(rng.standard_normal(6 * args.d1) * 0.01)
-    tgt = jnp.asarray(rng.standard_normal((64, 8))
-                      + 1j * rng.standard_normal((64, 8)))
+    # host numpy: complex128 device transfers hang the axon TPU tunnel
+    tgt = (rng.standard_normal((64, 8))
+           + 1j * rng.standard_normal((64, 8)))
 
     print(f"backend={jax.default_backend()} nsteps={args.nsteps} "
           f"tf={args.tf}")

@@ -37,6 +37,7 @@ import numpy as np
 from .controls import as_control_tuple, control_tables_at
 from .forward import eval_forward, eval_adjoint, _time_grid
 from .objective import (
+    with_host_target,
     objective_value,
     objective_parts,
     terminal_cost,
@@ -69,6 +70,7 @@ def default_adjoint_method() -> str:
     return "lagrange"
 
 
+@with_host_target(3)
 @partial(jax.jit, static_argnames=("order", "cost_type", "method"))
 def discrete_adjoint(prob, controls, pcof, target, order: int = 2,
                      cost_type: str = "Infidelity", method: str = "auto"):
@@ -107,6 +109,7 @@ def compute_guard_forcing(prob, history):
     return f * weights[:, None, None]
 
 
+@with_host_target(3)
 @partial(jax.jit, static_argnames=("order", "cost_type"))
 def compute_terminal_condition(prob, controls, pcof, target, final_state,
                                order: int = 2, cost_type: str = "Infidelity",
@@ -162,6 +165,7 @@ def _step_residual(prob, controls, pcof, t_n, t_np1, dt, w_n, w_np1, m):
     return rhs - lhs
 
 
+@with_host_target(3)
 @partial(jax.jit, static_argnames=("order", "cost_type",
                                    "ridge_penalty_strength"))
 def objective_and_gradient(prob, controls, pcof, target, order: int = 4,
@@ -267,6 +271,7 @@ def _discrete_adjoint_lagrange(prob, controls, pcof, target, order, cost_type,
     return jnp.sum(contribs, axis=0)
 
 
+@with_host_target(3)
 @partial(jax.jit, static_argnames=("order", "cost_type", "return_forcing"))
 def eval_grad_forced(prob, controls, pcof, target, order: int = 2,
                      cost_type: str = "Infidelity",
@@ -287,6 +292,9 @@ def eval_grad_finite_difference(prob, controls, pcof, target, order: int = 2,
                                 cost_type: str = "Infidelity"):
     """Central-difference gradient (reference
     ``eval_grad_finite_difference``, src/eval_grad_finite_difference.jl:16-72)."""
+    from .objective import host_realify_target
+
+    target = host_realify_target(target)
     controls = as_control_tuple(controls)
     pcof = np.asarray(pcof, dtype=np.float64)
     grad = np.zeros_like(pcof)
@@ -308,6 +316,9 @@ def eval_hessian(prob, controls, pcof, target, order: int = 2,
     reverse AD (an upgrade over the reference's finite-difference Hessian);
     ``method="fd"`` reproduces the reference's central-difference scheme
     (src/eval_hessian.jl:1-58)."""
+    from .objective import host_realify_target
+
+    target = host_realify_target(target)
     controls = as_control_tuple(controls)
     pcof = jnp.asarray(pcof, dtype=jnp.float64)
     fn = lambda pc: _objective_fn(prob, controls, pc, target, order, cost_type)

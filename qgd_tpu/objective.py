@@ -80,6 +80,53 @@ def _realify_target(prob, target):
     return target
 
 
+def host_realify_target(target):
+    """Split a complex target gate into the real-stacked ``[Re; Im]`` form
+    on the HOST (numpy), before it can cross a jit boundary: complex128
+    device transfers hang the axon TPU tunnel indefinitely (f64 and c64
+    transfer fine — measured 2026-08-18), so complex targets must never be
+    passed to a jitted function as arguments. Idempotent on already-real
+    targets. Tracer-safe: inside a trace (internal nested calls) it falls
+    back to the on-device realification — no transfer happens there."""
+    import numpy as np
+
+    if isinstance(target, jax.core.Tracer):
+        t = jnp.asarray(target)
+        if jnp.iscomplexobj(t):
+            t = jnp.concatenate([jnp.real(t), jnp.imag(t)], axis=0)
+        t = t.astype(jnp.float64)
+        if t.ndim == 1:
+            t = t[:, None]
+        return t
+    t = np.asarray(target)
+    if np.iscomplexobj(t):
+        t = np.concatenate([t.real, t.imag], axis=0)
+    t = t.astype(np.float64)
+    if t.ndim == 1:
+        t = t[:, None]
+    return t
+
+
+def with_host_target(argnum):
+    """Decorator (applied OUTSIDE jit): realify the ``target`` argument on
+    host before the wrapped jitted function transfers its inputs."""
+    import functools
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            if "target" in kwargs:
+                kwargs = dict(kwargs)
+                kwargs["target"] = host_realify_target(kwargs["target"])
+            elif len(args) > argnum:
+                args = (args[:argnum]
+                        + (host_realify_target(args[argnum]),)
+                        + args[argnum + 1:])
+            return fn(*args, **kwargs)
+        return wrapper
+    return deco
+
+
 def terminal_cost(final_state, target_real, N_ess: int,
                   cost_type: str = "Infidelity"):
     """Terminal cost J1(w_N); the ``cost_type`` variants of
@@ -99,6 +146,7 @@ def terminal_cost(final_state, target_real, N_ess: int,
     raise ValueError(f"Invalid cost type: {cost_type}")
 
 
+@with_host_target(3)
 @partial(jax.jit, static_argnames=("order", "cost_type"))
 def objective_parts(prob, controls, pcof, target, order: int = 2,
                     ridge_penalty_strength: float = 0.0,

@@ -18,7 +18,7 @@ from jax import shard_map
 
 from ..controls import as_control_tuple
 from ..forward import eval_forward
-from ..objective import _realify_target, _target_T
+from ..objective import _realify_target, _target_T, host_realify_target
 
 
 def initialize_distributed(coordinator_address=None, num_processes=None,
@@ -92,7 +92,7 @@ def sharded_objective_and_grad(prob, controls, pcof, target, mesh: Mesh,
     """Objective + gradient with initial-condition columns sharded over the
     mesh's ``ic`` axis (single control vector)."""
     controls = as_control_tuple(controls)
-    target_real = _realify_target(prob, target)
+    target_real = jnp.asarray(host_realify_target(target))
     ic_spec = P(None, "ic")
 
     def local(u0, v0, tgt, pc):
@@ -126,7 +126,7 @@ def batched_objective_and_grad(prob, controls, pcofs, target, mesh: Mesh,
     ``pcofs (S, n_params)``, scenarios sharded over ``scenario`` and
     initial-condition columns over ``ic``."""
     controls = as_control_tuple(controls)
-    target_real = _realify_target(prob, target)
+    target_real = jnp.asarray(host_realify_target(target))
 
     def local(u0, v0, tgt, pcs):
         p_local = dataclasses.replace(prob, u0=u0, v0=v0)
