@@ -32,8 +32,11 @@ BASELINE_STEPS_PER_SEC = 987.7
 
 NSTEPS = 1000
 ORDER = 4
-SCENARIOS = 16
-TPU_DEADLINE_S = 1200
+# f64 run: hoisted per-scenario stage matrices + inverses + accumulation
+# residuals cost ~2.4 GB HBM per scenario at nsteps=1000; 4 scenarios fit
+# the 16 GB chip (16 OOMs at 39 GB).
+SCENARIOS = 4
+TPU_DEADLINE_S = 1500
 
 
 def measure():

@@ -260,14 +260,21 @@ def _discrete_adjoint_lagrange(prob, controls, pcof, target, order, cost_type,
         return g
 
     T = ts.shape[0]
-    if T <= 4096:
+    try:
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        on_tpu = False
+    # Chunk the batched VJPs so the materialized derivative-stack
+    # residuals fit: HBM is the binding constraint on TPU (each time
+    # point's VJP keeps (m, 2N, 2N) assembly residuals, x scenarios under
+    # vmap), RAM only binds on CPU for very long horizons (nsteps ~ 1e5).
+    chunk_limit = 256 if on_tpu else 4096
+    if T <= chunk_limit:
         contribs = jax.vmap(lambda t, w, ct: contrib((t, w, ct)))(
             ts, history, cot)
     else:
-        # chunk the batched VJPs so long horizons (nsteps ~ 1e5) don't
-        # materialize T full derivative-stack residuals at once
         contribs = jax.lax.map(contrib, (ts, history, cot),
-                               batch_size=1024)
+                               batch_size=min(1024, chunk_limit))
     return jnp.sum(contribs, axis=0)
 
 
