@@ -69,17 +69,31 @@ def _use_precomputed_stages(prob) -> str | None:
     (``"full"``) and has not yet been validated on ``"mats"`` (every failed
     compile poisons the serialized compile queue for ~30+ min). Use
     ``solver="schulz"`` for hoisted, vmappable TPU stage solves.
+
+    The memory estimate is multiplied by ``prob.hoist_batch_hint``: stage
+    matrices are pcof-dependent, so under a scenario ``vmap`` the hoisted
+    tensors carry the batch axis — callers batching S scenarios should set
+    ``hoist_batch_hint=S`` so the precompute degrades to the in-scan solver
+    instead of OOMing.
     """
-    if prob.solver == "schulz":
-        n2 = prob.real_system_size
-        if 3 * prob.nsteps * n2 * n2 * 8 > _PRECOMPUTE_BYTES_LIMIT:
-            return None
-        return "schulz"
-    if prob.solver != "lu":
+    if prob.solver not in ("schulz", "lu"):
         return None
     n2 = prob.real_system_size
-    if 3 * prob.nsteps * n2 * n2 * 8 > _PRECOMPUTE_BYTES_LIMIT:
+    itemsize = 4 if prob.dtype == "float32" else 8
+    hint = max(int(prob.hoist_batch_hint), 1)
+    need = 3 * prob.nsteps * n2 * n2 * itemsize * hint
+    if need > _PRECOMPUTE_BYTES_LIMIT:
+        import warnings
+        warnings.warn(
+            f"qgd_tpu: hoisted stage precompute disabled — it would need "
+            f"~{need / 1e9:.1f} GB (> {_PRECOMPUTE_BYTES_LIMIT / 1e9:.1f} GB "
+            f"cap) for nsteps={prob.nsteps}, 2N={n2}, "
+            f"batch_hint={hint}; falling back to the (slower) in-scan "
+            f"stage solver. Reduce nsteps/batch or raise the cap.",
+            stacklevel=3)
         return None
+    if prob.solver == "schulz":
+        return "schulz"
     try:
         backend = jax.default_backend()
     except Exception:
@@ -132,8 +146,26 @@ def _time_grid(prob):
     return dt, ts
 
 
+def _drift_stage_inverse(prob, m, dt, transpose: bool = False):
+    """Newton–Schulz inverse of the *drift-only* implicit stage matrix —
+    the warm start for per-step in-scan Schulz solves (control terms
+    perturb the stage matrix by O(dt * amplitude), so the warm-started
+    iteration converges in a handful of sweeps; same observation as the
+    reference's LUPreconditioner, src/preconditioners.jl:44-55). Computed
+    once, outside the scan, from the always-convergent universal init."""
+    wd = prob.work_dtype
+    zeros_pq = jnp.zeros((m, prob.N_operators), dtype=wd)
+    A = assemble_generator_stack(prob, zeros_pq, zeros_pq, m)
+    eye = jnp.eye(prob.real_system_size, dtype=wd)
+    D = scaled_derivatives(A, eye, m)
+    lhs = build_lhs(D, dt, m)
+    if transpose:
+        lhs = lhs.T
+    return schulz_inverse_auto(lhs, prob.schulz_iters)
+
+
 def _hermite_step(prob, m, dt, w, pq_n, pq_np1, forcing_n, forcing_np1,
-                  precond=None):
+                  precond=None, schulz_X0=None):
     """One Hermite-Obreshkov step ``w_n -> w_{n+1}``.
 
     ``pq_* = (P, Q)`` control tables ``(m, N_ops)`` at the two endpoints;
@@ -180,7 +212,9 @@ def _hermite_step(prob, m, dt, w, pq_n, pq_np1, forcing_n, forcing_np1,
         eye = jnp.eye(prob.real_system_size, dtype=w.dtype)
         D = scaled_derivatives(A_np1, eye, m)
         lhs_mat = build_lhs(D, dt, m)
-        X = schulz_inverse_auto(lhs_mat, prob.schulz_iters)
+        # warm-started when the caller hoisted the drift-only stage inverse
+        # out of the scan (a few sweeps instead of the full universal ramp)
+        X = schulz_inverse_auto(lhs_mat, prob.schulz_iters, X0=schulz_X0)
         w_next = inverse_stage_solve(lhs_mat, X, rhs)
     else:
         eye = jnp.eye(prob.real_system_size, dtype=w.dtype)
@@ -259,6 +293,8 @@ def hermite_forward_history(prob, controls, pcof, order: int = 2,
         return jnp.concatenate([w0[None], traj], axis=0)
 
     precond = _make_preconditioner(prob, dt, order)
+    schulz_X0 = (_drift_stage_inverse(prob, m, dt)
+                 if prob.solver == "schulz" else None)
 
     def step(w, xs):
         if forcing is None:
@@ -267,7 +303,7 @@ def hermite_forward_history(prob, controls, pcof, order: int = 2,
         else:
             pq_n, pq_np1, f_n, f_np1 = xs
         w_next, _ = _hermite_step(prob, m, dt, w, pq_n, pq_np1, f_n, f_np1,
-                                  precond=precond)
+                                  precond=precond, schulz_X0=schulz_X0)
         return w_next, w_next
 
     if remat:
@@ -418,6 +454,9 @@ def eval_adjoint(prob, controls, pcof, terminal_condition, order: int = 2,
 
         lam0, lams_rev = jax.lax.scan(step_fast, lam_N, xs)
     else:
+        schulz_X0T = (_drift_stage_inverse(prob, m, dt, transpose=True)
+                      if prob.solver == "schulz" else None)
+
         def step(lam, xs):
             pq_n, f_n = xs
             A_n = assemble_generator_stack(prob, pq_n[0], pq_n[1], m)
@@ -430,7 +469,8 @@ def eval_adjoint(prob, controls, pcof, terminal_condition, order: int = 2,
             if prob.solver == "schulz":
                 MT = lhs_mat.T
                 lam_prev = inverse_stage_solve(
-                    MT, schulz_inverse_auto(MT, prob.schulz_iters), mu)
+                    MT, schulz_inverse_auto(MT, prob.schulz_iters,
+                                            X0=schulz_X0T), mu)
             else:
                 lam_prev = stage_solve_transposed(lhs_mat, mu)
             return lam_prev, lam_prev

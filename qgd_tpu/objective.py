@@ -48,8 +48,11 @@ def infidelity(psi, target, N_ess: int):
 
 def infidelity_of(prob, controls, pcof, target, order: int = 2, forcing=None):
     """Forward-solve-then-infidelity convenience (src/infidelity.jl:33-47)."""
+    # host_realify_target, not _realify_target: a complex target must be
+    # split on the host — an eager jnp.asarray of complex128 is a device
+    # transfer that hangs the axon TPU tunnel.
+    target_real = jnp.asarray(host_realify_target(target))
     hist = eval_forward(prob, controls, pcof, order, forcing=forcing)
-    target_real = _realify_target(prob, target)
     return infidelity_real(hist[-1], target_real, prob.N_ess_levels)
 
 

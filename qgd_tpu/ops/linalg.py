@@ -141,18 +141,26 @@ def schulz_universal_init(M):
     return MT / (n1 * ninf)[..., None, None]
 
 
-def schulz_inverse_auto(M, iters: int = 16, dtype=jnp.float32, X0=None):
+def schulz_inverse_auto(M, iters: int = 56, dtype=jnp.float32, X0=None,
+                        warm_iters: int | None = None):
     """Approximate inverse of ``M`` by Newton–Schulz, computed in ``dtype``
-    (f32: MXU-native). ``X0`` warm-starts the iteration (e.g. the inverse
-    of the drift-only stage matrix, a control-sized perturbation away);
-    otherwise the universal init is used, which converges for any
-    nonsingular ``M`` but needs ~``2 log2(cond(M))`` extra iterations."""
+    (f32: MXU-native).
+
+    ``iters`` is the TOTAL iteration budget from the universal init (which
+    converges for any nonsingular ``M`` but needs ~``2 log2(cond(M))`` ramp
+    iterations before the quadratic phase; the default 56 = 40 ramp + 16
+    converging sweeps reaches f32 inverse accuracy for the well-conditioned
+    Hermite stage matrices). ``X0`` warm-starts the iteration — e.g. the
+    inverse of the drift-only stage matrix, a control-sized perturbation
+    away — in which case only ``warm_iters`` (default ``max(iters-40, 8)``)
+    iterations run. No hidden budget is added in either case.
+    """
     M32 = M.astype(dtype)
     if X0 is None:
         X0 = schulz_universal_init(M32)
-        iters = iters + 40   # universal init: budget for the cond(M) ramp
     else:
         X0 = jnp.broadcast_to(X0.astype(dtype), M32.shape)
+        iters = warm_iters if warm_iters is not None else max(iters - 40, 8)
     return schulz_inverse(M32, X0, iters)
 
 

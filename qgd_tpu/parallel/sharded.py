@@ -18,7 +18,8 @@ from jax import shard_map
 
 from ..controls import as_control_tuple
 from ..forward import eval_forward
-from ..objective import _realify_target, _target_T, host_realify_target
+from ..objective import (_realify_target, _target_T, host_realify_target,
+                         with_host_target)
 
 
 def initialize_distributed(coordinator_address=None, num_processes=None,
@@ -85,6 +86,10 @@ def _local_objective(prob, controls, pcof, target_real, order: int,
     return infid + guard
 
 
+# with_host_target sits OUTSIDE jit: a complex target must be realified on
+# the host before it becomes a jit input (a complex128 device transfer hangs
+# the axon TPU tunnel — see objective.host_realify_target).
+@with_host_target(3)
 @partial(jax.jit, static_argnames=("order", "mesh", "ridge_penalty_strength"))
 def sharded_objective_and_grad(prob, controls, pcof, target, mesh: Mesh,
                                order: int = 4,
@@ -118,6 +123,7 @@ def sharded_objective_and_grad(prob, controls, pcof, target, mesh: Mesh,
     return val + ridge, grad + 2.0 * ridge_penalty_strength * pcof / pcof.shape[0]
 
 
+@with_host_target(3)
 @partial(jax.jit, static_argnames=("order", "mesh", "ridge_penalty_strength"))
 def batched_objective_and_grad(prob, controls, pcofs, target, mesh: Mesh,
                                order: int = 4,
@@ -164,6 +170,11 @@ def multichip_train_step(prob, controls, target, mesh: Mesh, order: int = 4,
     (The production driver uses L-BFGS on the host or optax on device; this
     fixed-step variant is what the multi-chip dry-run compiles.)
     """
+    # Realify once, before ``target`` is closed over: inside jit(step) a
+    # complex target would otherwise become an embedded complex128 constant
+    # (the axon-tunnel hang with_host_target exists to prevent).
+    target = host_realify_target(target)
+
     def step(pcofs):
         vals, grads = batched_objective_and_grad(
             prob, controls, pcofs, target, mesh, order,

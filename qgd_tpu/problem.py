@@ -77,12 +77,16 @@ class SchrodingerProblem:
     gmres_abstol: float = field(default=1e-10, metadata=dict(static=True))
     gmres_reltol: float = field(default=1e-10, metadata=dict(static=True))
     gmres_iters: int = field(default=20, metadata=dict(static=True))
-    # Newton-Schulz iteration count for ``solver="schulz"`` — the
+    # Newton-Schulz TOTAL iteration budget for ``solver="schulz"`` — the
     # matmul-only batched stage solver (the TPU path that survives vmap
     # over control-vector scenarios, where a batched getrf wedges the
-    # axon remote compiler). 16 from-universal-init iterations reach f32
+    # axon remote compiler). Counted from the universal init
+    # (ops/linalg.schulz_universal_init): ~40 iterations ramp through the
+    # cond(M) phase, then ~16 quadratically-converging sweeps reach f32
     # inverse accuracy for the well-conditioned Hermite stage matrices.
-    schulz_iters: int = field(default=16, metadata=dict(static=True))
+    # Warm-started solves (drift-only inverse as X0) use
+    # ``max(schulz_iters - 40, 8)`` iterations instead.
+    schulz_iters: int = field(default=56, metadata=dict(static=True))
     preconditioner_type: str = field(default="identity",
                                      metadata=dict(static=True))
     # Propagation dtype: "float64" (default; required for the 1e-14
@@ -91,6 +95,11 @@ class SchrodingerProblem:
     # objective still reduced in f64). Switch via
     # ``dataclasses.replace(prob, dtype="float32")``.
     dtype: str = field(default="float64", metadata=dict(static=True))
+    # How many scenario copies of the hoisted per-step stage tensors will
+    # coexist (a scenario ``vmap`` batches them, since stage matrices are
+    # pcof-dependent). Used only by the forward/adjoint hoisting memory cap
+    # (forward._use_precomputed_stages); set it to the vmap batch size.
+    hoist_batch_hint: int = field(default=1, metadata=dict(static=True))
 
     @property
     def work_dtype(self):

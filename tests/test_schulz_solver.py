@@ -35,10 +35,25 @@ def _cnot_like(nsteps):
 def test_schulz_inverse_accuracy():
     rng = np.random.default_rng(0)
     A = np.eye(16) + 0.3 * rng.standard_normal((16, 16))
-    X = schulz_inverse_auto(jnp.asarray(A), 16)
+    # default budget (56 total from the universal init) reaches the f32 floor
+    X = schulz_inverse_auto(jnp.asarray(A))
     assert np.max(np.abs(np.asarray(X) @ A - np.eye(16))) < 1e-4   # f32 floor
     b = jnp.asarray(rng.standard_normal((16, 3)))
     x = inverse_stage_solve(jnp.asarray(A), X, b)
+    assert np.max(np.abs(A @ np.asarray(x) - np.asarray(b))) < 1e-13
+
+
+def test_schulz_warm_start_matches_cold():
+    """A drift-like warm start reaches the same f32-accurate inverse with
+    the reduced warm budget (the in-scan fallback path, forward.py)."""
+    rng = np.random.default_rng(1)
+    A0 = np.eye(16) + 0.1 * rng.standard_normal((16, 16))   # "drift" stage
+    A = A0 + 0.02 * rng.standard_normal((16, 16))           # + control term
+    X0 = schulz_inverse_auto(jnp.asarray(A0))
+    Xw = schulz_inverse_auto(jnp.asarray(A), X0=X0)
+    assert np.max(np.abs(np.asarray(Xw) @ A - np.eye(16))) < 1e-4
+    b = jnp.asarray(rng.standard_normal((16, 3)))
+    x = inverse_stage_solve(jnp.asarray(A), Xw, b)
     assert np.max(np.abs(A @ np.asarray(x) - np.asarray(b))) < 1e-13
 
 
