@@ -47,8 +47,13 @@ from .ops.linalg import (
 )
 
 # Hoisting the per-step LHS matrices + factorizations out of the scan
-# costs (2 + lu) * nsteps * (2N)^2 * 8 bytes of HBM; cap it.
-_PRECOMPUTE_BYTES_LIMIT = 1_500_000_000
+# costs (2 + lu) * nsteps * (2N)^2 * itemsize bytes of HBM; cap it.
+# Overridable via QGD_HOIST_CAP_BYTES (e.g. large-batch f32 TPU runs where
+# the default is conservative vs the 16 GB chip).
+import os as _os
+
+_PRECOMPUTE_BYTES_LIMIT = int(
+    _os.environ.get("QGD_HOIST_CAP_BYTES", 1_500_000_000))
 
 
 def _use_precomputed_stages(prob) -> str | None:
