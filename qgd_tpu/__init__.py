@@ -94,6 +94,17 @@ from .adjoint import (  # noqa: E402
     eval_hessian,
     compute_terminal_condition,
 )
+from .segmented import (  # noqa: E402
+    segmented_objective_and_gradient,
+    segmented_gradient,
+    choose_segments,
+)
+from .diagnostics import stage_residuals  # noqa: E402
+from .checkpoint import (  # noqa: E402
+    save_setup,
+    load_setup,
+    resume_optimization,
+)
 from .optimize import (  # noqa: E402
     optimize_gate,
     optimize_gate_multistart,
@@ -193,6 +204,13 @@ __all__ = [
     "infidelity_plus_guard",
     "objective_value",
     "discrete_adjoint",
+    "segmented_objective_and_gradient",
+    "segmented_gradient",
+    "choose_segments",
+    "stage_residuals",
+    "save_setup",
+    "load_setup",
+    "resume_optimization",
     "eval_grad_forced",
     "eval_grad_finite_difference",
     "eval_hessian",

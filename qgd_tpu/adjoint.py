@@ -90,6 +90,12 @@ def discrete_adjoint(prob, controls, pcof, target, order: int = 2,
     if method == "lagrange":
         return _discrete_adjoint_lagrange(prob, controls, pcof, target, order,
                                           cost_type)
+    if method == "segmented":
+        # O(sqrt T)-memory route for long horizons (qgd_tpu/segmented.py)
+        from .segmented import segmented_gradient
+
+        return segmented_gradient(prob, controls, pcof, target, order,
+                                  cost_type=cost_type)
     raise ValueError(f"unknown method {method!r}")
 
 

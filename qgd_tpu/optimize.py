@@ -119,6 +119,7 @@ def optimize_gate(prob, controls, pcof_init, target, *, order: int = 4,
                   filename: str | None = None,
                   print_level: int = 5,
                   cost_type: str = "Infidelity",
+                  n_segments: int | None = None,
                   resume_from: str | None = None) -> OptimizationHistory:
     """Optimize the control vector (reference ``optimize_gate``,
     src/ipopt_optimal_control.jl:187-471).
@@ -127,7 +128,11 @@ def optimize_gate(prob, controls, pcof_init, target, *, order: int = 4,
     (:389-460). ``resume_from``: a history checkpoint basename; restarts
     from its last pcof and keeps appending to the loaded history (the
     reference's resume is manual re-launch with the last pcof,
-    SURVEY.md §5). Returns the :class:`OptimizationHistory`.
+    SURVEY.md §5). ``n_segments``: ``None`` (default) auto-selects the
+    O(sqrt T)-memory segmented gradient (qgd_tpu/segmented.py) once
+    ``nsteps`` is long enough that the O(T) history tensors matter;
+    ``0`` forces the plain path; ``>0`` forces that segment count.
+    Returns the :class:`OptimizationHistory`.
     """
     controls = as_control_tuple(controls)
     resumed = None
@@ -146,15 +151,41 @@ def optimize_gate(prob, controls, pcof_init, target, *, order: int = 4,
     lower = _bounds_vec(pcof_L, -np.inf)
     upper = _bounds_vec(pcof_U, np.inf)
 
+    if filename is not None and resume_from is None:
+        # Persist the FULL setup once per run (problem, controls, target,
+        # bounds, order — reference src/ipopt_optimal_control.jl:222-241) so
+        # checkpoint.resume_optimization needs only the filename.
+        from .checkpoint import save_setup
+
+        save_setup(filename, prob, controls, target, order=order,
+                   pcof_L=pcof_L, pcof_U=pcof_U,
+                   ridge_penalty_strength=ridge_penalty_strength,
+                   cost_type=cost_type, maxIter=maxIter,
+                   max_cpu_time=max_cpu_time, stop_objective=stop_objective,
+                   tol=tol, lbfgs_history=lbfgs_history, method=method,
+                   print_level=print_level)
+
     from .adjoint import objective_and_gradient
+    from .segmented import segmented_objective_and_gradient
+
+    if n_segments is None:
+        # Auto: past ~16k steps the plain path's O(T) history + cotangent
+        # tensors dominate memory; switch to the O(sqrt T) segmented route.
+        n_segments = 0 if prob.nsteps < 16384 else -1
 
     @jax.jit
     def value_parts_and_grad(pc):
         # Objective and gradient share one forward solve explicitly (the
         # role of the reference's pcof-keyed memoization tracker).
-        (j1, guard, ridge), grad = objective_and_gradient(
-            prob, controls, pc, target, order, cost_type=cost_type,
-            ridge_penalty_strength=ridge_penalty_strength)
+        if n_segments == 0:
+            (j1, guard, ridge), grad = objective_and_gradient(
+                prob, controls, pc, target, order, cost_type=cost_type,
+                ridge_penalty_strength=ridge_penalty_strength)
+        else:
+            (j1, guard, ridge), grad = segmented_objective_and_gradient(
+                prob, controls, pc, target, order, cost_type=cost_type,
+                ridge_penalty_strength=ridge_penalty_strength,
+                n_segments=max(n_segments, 0))
         return j1 + guard + ridge, (j1, guard, ridge), grad
 
     history = resumed if resumed is not None else OptimizationHistory()

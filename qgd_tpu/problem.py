@@ -74,6 +74,11 @@ class SchrodingerProblem:
     nsteps: int = field(metadata=dict(static=True))
     N_ess_levels: int = field(metadata=dict(static=True))
     solver: str = field(default="lu", metadata=dict(static=True))
+    # Requested stage-solve tolerances (reference src/SchrodingerProb.jl:
+    # 176-177). The fixed-iteration TPU-native solvers do not iterate to a
+    # tolerance; these are CHECKED (not enforced) by
+    # qgd_tpu.diagnostics.stage_residuals, which warns when the achieved
+    # fixed-budget GMRES residual exceeds them.
     gmres_abstol: float = field(default=1e-10, metadata=dict(static=True))
     gmres_reltol: float = field(default=1e-10, metadata=dict(static=True))
     gmres_iters: int = field(default=20, metadata=dict(static=True))

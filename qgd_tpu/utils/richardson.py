@@ -35,7 +35,8 @@ def get_histories(prob, controls, pcof, N_iterations: int, *, orders=(2, 4),
                   base_nsteps=None, nsteps_change_factor: int = 2,
                   min_error_limit: float = -np.inf,
                   max_error_limit: float = np.inf,
-                  jld2_filename: str | None = None, verbose: bool = True):
+                  jld2_filename: str | None = None, verbose: bool = True,
+                  with_diagnostics: bool = False):
     """Timed convergence sweep (reference ``get_histories``,
     test_convergence.jl:20-146).
 
@@ -49,6 +50,9 @@ def get_histories(prob, controls, pcof, N_iterations: int, *, orders=(2, 4),
     [...], "nsteps": [...], "rel_errs": [...]}}``. If ``jld2_filename`` is
     given, results are incrementally dumped as JSON+npz (the reference's
     incremental JLD2 checkpoints, test_convergence.jl:76-121).
+    ``with_diagnostics=True`` additionally records the stage-solve residual
+    per run (``"stage_residual"`` entries — the analogue of the reference's
+    per-solve GMRES iteration report, src/forward_evolution.jl:224-229).
     """
     from ..forward import eval_forward
 
@@ -58,6 +62,8 @@ def get_histories(prob, controls, pcof, N_iterations: int, *, orders=(2, 4),
     for order in orders:
         key = f"Order {order}"
         entry = dict(histories=[], elapsed=[], nsteps=[], rel_errs=[])
+        if with_diagnostics:
+            entry["stage_residual"] = []
         results[key] = entry
         prev_final = None
         prev_err = np.inf
@@ -78,6 +84,11 @@ def get_histories(prob, controls, pcof, N_iterations: int, *, orders=(2, 4),
             entry["histories"].append(hist)
             entry["elapsed"].append(elapsed)
             entry["nsteps"].append(nsteps)
+            if with_diagnostics:
+                from ..diagnostics import stage_residuals
+
+                entry["stage_residual"].append(
+                    stage_residuals(p, controls, pcof, order))
             if prev_final is not None:
                 rel_err = richardson_extrap_rel_err(hist[-1], prev_final, order)
                 entry["rel_errs"].append(rel_err)

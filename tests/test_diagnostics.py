@@ -1,0 +1,60 @@
+"""Stage-solver residual diagnostics (the analogue of the reference's
+GMRES iteration counters, src/forward_evolution.jl:224-229) and the
+gmres_abstol/gmres_reltol tolerance check."""
+
+import dataclasses
+import warnings
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import qgd_tpu
+from qgd_tpu import stage_residuals, construct_rand_prob, BSpline2Control
+
+
+def _setup(**prob_kwargs):
+    prob = construct_rand_prob(3, 2, tf=2.0, nsteps=24, seed=7)
+    if prob_kwargs:
+        prob = dataclasses.replace(prob, **prob_kwargs)
+    controls = tuple(BSpline2Control(4, float(prob.tf)) for _ in range(2))
+    rng = np.random.default_rng(0)
+    pcof = jnp.asarray(rng.standard_normal(16) * 0.2)
+    return prob, controls, pcof
+
+
+def test_lu_residual_is_roundoff():
+    prob, controls, pcof = _setup()
+    d = stage_residuals(prob, controls, pcof, order=4)
+    assert d["solver"] == "lu" and d["n_sampled"] >= 2
+    assert d["max"] < 1e-13
+
+
+def test_schulz_residual_small():
+    prob, controls, pcof = _setup(solver="schulz")
+    d = stage_residuals(prob, controls, pcof, order=4)
+    assert d["max"] < 1e-11
+
+
+def test_gmres_tolerance_warning():
+    # a starved GMRES budget must trip the requested-tolerance check
+    prob, controls, pcof = _setup(solver="gmres", gmres_iters=1,
+                                  gmres_abstol=1e-12, gmres_reltol=1e-12)
+    with pytest.warns(UserWarning, match="exceeds requested tolerance"):
+        stage_residuals(prob, controls, pcof, order=6)
+
+    # a healthy budget stays quiet
+    prob2, controls, pcof = _setup(solver="gmres", gmres_iters=20)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        d = stage_residuals(prob2, controls, pcof, order=4)
+    assert d["max"] < 1e-10
+
+
+def test_histories_with_diagnostics():
+    prob, controls, pcof = _setup()
+    res = qgd_tpu.get_histories(prob, controls, pcof, 2, orders=(4,),
+                                verbose=False, with_diagnostics=True)
+    entry = res["Order 4"]
+    assert len(entry["stage_residual"]) == len(entry["nsteps"])
+    assert entry["stage_residual"][0]["max"] < 1e-12

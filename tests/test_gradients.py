@@ -67,13 +67,15 @@ def test_adjoint_vs_forced_exact(case, order):
 @pytest.mark.parametrize("order", [2, 4, 6])
 @pytest.mark.parametrize("case", [s[0] for s in SETUPS])
 def test_adjoint_vs_finite_difference(case, order):
+    """Reference-parity gate: atol/rtol 1e-9 like Julia's
+    ``isapprox(...; atol=1e-9, rtol=1e-9)``
+    (test/GradientTests/compare_gradients.jl:47-48)."""
     name, prob, controls, pcof, target = next(s for s in SETUPS
                                               if s[0] == case)
     g_adj = np.asarray(discrete_adjoint(prob, controls, pcof, target, order))
     g_fd = np.asarray(eval_grad_finite_difference(prob, controls, pcof,
                                                   target, order))
-    scale = max(1.0, np.abs(g_adj).max())
-    np.testing.assert_allclose(g_adj, g_fd, rtol=2e-7, atol=1e-8 * scale)
+    np.testing.assert_allclose(g_adj, g_fd, rtol=1e-9, atol=1e-9)
 
 
 @pytest.mark.parametrize("order", [2, 4, 6])
