@@ -109,6 +109,17 @@ def measure():
     }), flush=True)
 
 
+def _log_debug(msg):
+    """Worker failures are otherwise silent (the driver only reads the final
+    JSON line); keep a post-mortem trail."""
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_debug.log"), "a") as f:
+            f.write(f"[{time.strftime('%F %T')}] {msg}\n")
+    except OSError:
+        pass
+
+
 def _run_worker(env_extra, timeout):
     env = dict(os.environ, **env_extra)
     try:
@@ -116,7 +127,10 @@ def _run_worker(env_extra, timeout):
             [sys.executable, "-u", os.path.abspath(__file__), "--worker"],
             capture_output=True, text=True, timeout=timeout, env=env,
             cwd=os.path.dirname(os.path.abspath(__file__)))
-    except subprocess.TimeoutExpired:
+    except subprocess.TimeoutExpired as e:
+        _log_debug(f"worker TIMEOUT after {timeout}s; stdout tail: "
+                   f"{(e.stdout or b'')[-500:]} stderr tail: "
+                   f"{(e.stderr or b'')[-500:]}")
         return None
     for line in res.stdout.splitlines():
         try:
@@ -125,6 +139,8 @@ def _run_worker(env_extra, timeout):
                 return d
         except json.JSONDecodeError:
             continue
+    _log_debug(f"worker rc={res.returncode} no JSON; stdout tail: "
+               f"{res.stdout[-500:]!r} stderr tail: {res.stderr[-1500:]!r}")
     return None
 
 
