@@ -30,15 +30,29 @@ def main(argv=None):
                    help="box bound on control amplitudes (rad/ns)")
     p.add_argument("--ridge", type=float, default=1e-2)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--max-cpu-time", type=float, default=86400.0)
+    p.add_argument("--solver", default=None,
+                   help="stage solver override (e.g. schulz on TPU)")
+    p.add_argument("--dtype", default=None,
+                   help="propagation dtype override (float32 TPU mode)")
     p.add_argument("-o", "--output", default=None,
                    help="history checkpoint basename (JSON+npz)")
     args = p.parse_args(argv)
+
+    import dataclasses
 
     import jax.numpy as jnp
     import qgd_tpu
 
     nsteps = max(int(np.ceil(args.tf / args.stepsize)), 1)
     prob = qgd_tpu.models.cnot3_problem(tf=args.tf, nsteps=nsteps)
+    overrides = {}
+    if args.solver:
+        overrides["solver"] = args.solver
+    if args.dtype:
+        overrides["dtype"] = args.dtype
+    if overrides:
+        prob = dataclasses.replace(prob, **overrides)
     controls = [qgd_tpu.BSpline2Control(args.d1, args.tf) for _ in range(3)]
     n = sum(c.N_coeff for c in controls)
     rng = np.random.default_rng(args.seed)
@@ -55,10 +69,13 @@ def main(argv=None):
 
     print(f"CNOT3: order={args.order} dt={args.stepsize} nsteps={nsteps} "
           f"n_params={n}")
+    # target stays HOST numpy: a complex128 jnp.asarray is a device
+    # transfer that hangs the axon TPU tunnel (library realifies host-side)
     hist = qgd_tpu.optimize_gate(
-        prob, controls, pcof0, jnp.asarray(target), order=args.order,
+        prob, controls, pcof0, target, order=args.order,
         pcof_L=-args.amp_bound, pcof_U=args.amp_bound,
-        maxIter=args.max_iter, ridge_penalty_strength=args.ridge,
+        maxIter=args.max_iter, max_cpu_time=args.max_cpu_time,
+        ridge_penalty_strength=args.ridge,
         filename=args.output, print_level=5)
     print(hist.summary())
     return 0

@@ -338,6 +338,47 @@ def _derivatives_on_grid(prob, controls, pcof, ts, states, order: int,
     return jax.vmap(one)(P, Q, states, forcing)
 
 
+def _thinned_forward_history(prob, controls, pcof, order: int,
+                             save_every: int):
+    """State history at every ``save_every``-th step WITHOUT materializing
+    the full ``(nsteps+1, 2N, B)`` trajectory: a nested scan whose outer
+    level emits one state per saved point and whose inner level advances
+    ``save_every`` steps, keeping only O(save_every) states live — the
+    memory behavior of the reference's ``saveEveryNsteps``
+    (src/forward_evolution.jl:22,177-179), which stores saved steps only.
+    """
+    from .segmented import _forward_segment_scan, _segment_mode
+
+    controls = as_control_tuple(controls)
+    m = order // 2
+    dt, ts = _time_grid(prob)
+    P, Q = control_tables(controls, pcof, ts, m)
+    wd = prob.work_dtype
+    prob = working_problem(prob)
+    P, Q, dt = P.astype(wd), Q.astype(wd), dt.astype(wd)
+    mode = _segment_mode(prob)
+    precond = _make_preconditioner(prob, dt, order)
+    S = prob.nsteps // save_every
+    L = save_every
+
+    def seg(arr):
+        return (arr[:-1].reshape(S, L, *arr.shape[1:]),
+                arr[1:].reshape(S, L, *arr.shape[1:]))
+
+    Pl, Pr = seg(P)
+    Ql, Qr = seg(Q)
+
+    def outer(w, xs):
+        pl_, ql_, pr_, qr_ = xs
+        hist = _forward_segment_scan(prob, m, dt, pl_, ql_, pr_, qr_, w, mode,
+                                     precond=precond)
+        return hist[-1], hist[-1]
+
+    w0 = prob.w0
+    _, saved = jax.lax.scan(outer, w0, (Pl, Ql, Pr, Qr))
+    return jnp.concatenate([w0[None], saved], axis=0)
+
+
 @partial(jax.jit, static_argnames=("order", "save_every", "return_derivatives"))
 def eval_forward(prob, controls, pcof, order: int = 2, *, save_every: int = 1,
                  forcing=None, return_derivatives: bool = False):
@@ -352,13 +393,20 @@ def eval_forward(prob, controls, pcof, order: int = 2, *, save_every: int = 1,
       (``uv_matrix`` layout, transposed to time-major).
 
     ``save_every`` mirrors ``saveEveryNsteps`` (src/forward_evolution.jl:22);
-    ``nsteps`` must be divisible by it.
+    ``nsteps`` must be divisible by it. ``save_every > 1`` also THINS
+    memory (the full trajectory is never materialized), matching the
+    reference's storage behavior (src/forward_evolution.jl:177-179).
     """
     controls = as_control_tuple(controls)
     if prob.nsteps % save_every != 0:
         raise ValueError("nsteps must be divisible by save_every")
-    hist = hermite_forward_history(prob, controls, pcof, order, forcing=forcing)
-    saved = hist[::save_every]
+    if save_every > 1 and forcing is None:
+        saved = _thinned_forward_history(prob, controls, pcof, order,
+                                         save_every)
+    else:
+        hist = hermite_forward_history(prob, controls, pcof, order,
+                                       forcing=forcing)
+        saved = hist[::save_every]
     if not return_derivatives:
         return saved
     dt, ts = _time_grid(prob)

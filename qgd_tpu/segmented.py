@@ -62,7 +62,8 @@ from .ops.linalg import (
     schulz_inverse_auto,
     inverse_stage_solve,
 )
-from .forward import _time_grid, _stage_matrices, _stage_matrices_both
+from .forward import (_time_grid, _stage_matrices, _stage_matrices_both,
+                      _make_preconditioner)
 
 
 def choose_segments(nsteps: int, target_len: int = 0) -> int:
@@ -101,7 +102,7 @@ def _segment_mode(prob) -> str | None:
 
 
 def _forward_segment_scan(prob, m, dt, P_seg_l, Q_seg_l, P_seg_r, Q_seg_r,
-                          w_start, mode):
+                          w_start, mode, precond=None):
     """Propagate one segment of ``L`` steps from ``w_start``; returns the
     in-segment history ``(L+1, 2N, B)`` (index 0 = ``w_start``).
 
@@ -148,7 +149,8 @@ def _forward_segment_scan(prob, m, dt, P_seg_l, Q_seg_l, P_seg_r, Q_seg_r,
         def step(w, xs):
             pq_n, pq_np1 = xs
             w_next, _ = _hermite_step(prob, m, dt, w, pq_n, pq_np1,
-                                      None, None, schulz_X0=schulz_X0)
+                                      None, None, precond=precond,
+                                      schulz_X0=schulz_X0)
             return w_next, w_next
 
         xs = ((P_seg_l, Q_seg_l), (P_seg_r, Q_seg_r))
@@ -198,6 +200,7 @@ def segmented_objective_and_gradient(prob, controls, pcof, target,
     wprob = working_problem(prob)
     Pw, Qw, dt = P.astype(wd), Q.astype(wd), dt64.astype(wd)
     mode = _segment_mode(wprob)
+    precond = _make_preconditioner(wprob, dt, order)
 
     # trapezoid weights on the global grid
     tau = jnp.ones(T + 1, dtype=jnp.float64).at[0].set(0.5).at[-1].set(0.5)
@@ -218,7 +221,7 @@ def segmented_objective_and_gradient(prob, controls, pcof, target,
         w, guard_acc = carry
         pl_, ql_, pr_, qr_, tau_k = xs
         hist = _forward_segment_scan(wprob, m, dt, pl_, ql_, pr_, qr_,
-                                     w, mode)
+                                     w, mode, precond=precond)
         guard_acc = guard_acc + _guard_quad(prob, hist[:-1], tau_k)
         return (hist[-1], guard_acc), w       # emit segment-start snapshot
 
@@ -302,7 +305,8 @@ def segmented_objective_and_gradient(prob, controls, pcof, target,
         snap, pl_, ql_, pr_, qr_, tau_k, ts_k, k_rev = xs
 
         hist = _forward_segment_scan(wprob, m, dt, pl_, ql_, pr_, qr_,
-                                     snap, mode)               # (L+1, 2N, B)
+                                     snap, mode,
+                                     precond=precond)          # (L+1, 2N, B)
 
         # guard forcing at indices a..b-1 (f64 weights, work-dtype result)
         f_seg = (guard_scale * tau_k)[:, None, None] * jnp.einsum(

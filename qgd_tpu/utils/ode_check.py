@@ -60,3 +60,44 @@ def test_agreement(prob, controls, pcof, *, order=4, rtol=1e-8):
     ours = np.asarray(hist[-1])
     truth = solve_ivp_reference(prob, controls, pcof, rtol=rtol, atol=rtol)
     return float(np.abs(ours - truth).max())
+
+
+# ---------------------------------------------------------------------------
+# QuTiP bridge (reference ext/QuTipIntegration.jl) — optional dependency
+# ---------------------------------------------------------------------------
+
+def to_qutip_qobj(prob):
+    """Drift Hamiltonian as a ``qutip.Qobj`` (the reference's ``Qobj``
+    conversion, ext/QuTipIntegration.jl:55-86): ``H = K + i S`` with
+    ``K = system_sym`` (real symmetric part) and ``S = system_asym``
+    (imaginary anti-symmetric part)."""
+    import qutip
+
+    H = np.asarray(prob.system_sym) + 1j * np.asarray(prob.system_asym)
+    return qutip.Qobj(H)
+
+
+def simulate_prob_no_control(prob, nsteps_out: int = 101):
+    """Integrate the drift-only Schrodinger equation with ``qutip.sesolve``
+    (reference ``simulate_prob_no_control``, ext/QuTipIntegration.jl:88-128)
+    as an independent-library ground truth. Returns the complex state
+    history ``(nsteps_out, N, B)``.
+
+    Raises ImportError when qutip is not installed (optional dependency;
+    the scipy DOP853 path above is the always-available cross-check).
+    """
+    import qutip
+
+    H = to_qutip_qobj(prob)
+    tlist = np.linspace(0.0, float(prob.tf), nsteps_out)
+    u0 = np.asarray(prob.u0)
+    v0 = np.asarray(prob.v0)
+    out = np.zeros((nsteps_out, prob.N_tot_levels, u0.shape[1]),
+                   dtype=np.complex128)
+    opts = {"atol": 1e-12, "rtol": 1e-12}
+    for b in range(u0.shape[1]):
+        psi0 = qutip.Qobj((u0[:, b] + 1j * v0[:, b]).reshape(-1, 1))
+        res = qutip.sesolve(H, psi0, tlist, options=opts)
+        out[:, :, b] = np.stack([np.asarray(s.full()).ravel()
+                                 for s in res.states])
+    return out

@@ -59,6 +59,12 @@ _case("rabi_smooth_spline", _rabi_lo,
 _case("rand_spline_carrier", _rand,
       [CarrierControl(FortranBSplineControl(8, 12, float(_rand.tf)),
                       [1.0, 2.5])])
+# order-8 with a NON-constant control: degree-12 spline is C^11, smooth
+# enough for the order-8 scheme (round-1 review weak #7 — the reference
+# itself falls back to constant controls at orders 8-12,
+# forward_convergence.jl:158-163; this case goes one notch beyond parity)
+_case("rabi_spline8", _rabi_hi,
+      [FortranBSplineControl(12, 16, float(_rabi_hi.tf))])
 
 PARAMS = [
     ("rabi_const", 2, 64), ("rabi_const", 4, 32),
@@ -68,6 +74,7 @@ PARAMS = [
     ("rabi_smooth_spline", 6, 16),
     ("rand_spline_carrier", 2, 64), ("rand_spline_carrier", 4, 32),
     ("rand_spline_carrier", 6, 16),
+    ("rabi_spline8", 8, 24),
 ]
 
 

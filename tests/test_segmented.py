@@ -109,3 +109,22 @@ def test_segmented_cost_types(cost_type):
     scale = max(1.0, np.abs(grad_f).max())
     np.testing.assert_allclose(np.asarray(grad_s), np.asarray(grad_f),
                                rtol=1e-13, atol=1e-14 * scale)
+
+
+def test_save_every_thinned_matches_full():
+    """save_every>1 must give exactly the strided slice of the full
+    history while never materializing it (WEAK #3 in round-1 review)."""
+    import dataclasses
+    from qgd_tpu.forward import eval_forward
+
+    prob, controls, pcof, tgt = _case(48, with_guard=True)
+    full = np.asarray(eval_forward(prob, controls, pcof, 4))
+    for solver in ("lu", "schulz", "gmres"):
+        p = dataclasses.replace(prob, solver=solver)
+        thin = np.asarray(eval_forward(p, controls, pcof, 4, save_every=8))
+        ref = np.asarray(eval_forward(p, controls, pcof, 4))[::8]
+        np.testing.assert_allclose(thin, ref, rtol=0, atol=0,
+                                   err_msg=solver)
+    np.testing.assert_allclose(
+        np.asarray(eval_forward(prob, controls, pcof, 4, save_every=8)),
+        full[::8], rtol=1e-14, atol=1e-15)
