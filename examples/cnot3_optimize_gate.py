@@ -31,6 +31,9 @@ def main(argv=None):
     p.add_argument("--ridge", type=float, default=1e-2)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max-cpu-time", type=float, default=86400.0)
+    p.add_argument("--nsteps", type=int, default=None,
+                   help="override the nsteps derived from stepsize (e.g. a "
+                        "highly-divisible count for segmented gradients)")
     p.add_argument("--solver", default=None,
                    help="stage solver override (e.g. schulz on TPU)")
     p.add_argument("--dtype", default=None,
@@ -44,7 +47,7 @@ def main(argv=None):
     import jax.numpy as jnp
     import qgd_tpu
 
-    nsteps = max(int(np.ceil(args.tf / args.stepsize)), 1)
+    nsteps = args.nsteps or max(int(np.ceil(args.tf / args.stepsize)), 1)
     prob = qgd_tpu.models.cnot3_problem(tf=args.tf, nsteps=nsteps)
     overrides = {}
     if args.solver:

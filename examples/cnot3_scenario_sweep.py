@@ -45,7 +45,9 @@ def main():
     for k in range(2):
         pairs.append(((1, 1, k), (1, 0, k)))
         pairs.append(((1, 0, k), (1, 1, k)))
-    target = jnp.asarray(qgd_tpu.create_gate((4, 4, 4), (2, 2, 2), pairs))
+    # HOST numpy: a complex128 jnp.asarray is a device transfer that hangs
+    # the axon TPU tunnel; multichip_train_step realifies host-side
+    target = qgd_tpu.create_gate((4, 4, 4), (2, 2, 2), pairs)
 
     n_dev = len(jax.devices())
     n_ic = 8 if n_dev % 8 == 0 and n_dev >= 8 else (

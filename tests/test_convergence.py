@@ -77,13 +77,24 @@ PARAMS = [
     ("rabi_spline8", 8, 24),
 ]
 
+# At order 8 with a non-constant spline the coarsest refinement pair is
+# still pre-asymptotic (slope 6.7 before settling at 7.6/7.9); drop the
+# leading pair and refine once more — standard Richardson practice, and the
+# reason the reference restricts orders 8-12 to constant controls
+# (forward_convergence.jl:158-163).
+_DEEP_CASES = {("rabi_spline8", 8): dict(n_refine=5, skip_first=1)}
+
 
 @pytest.mark.parametrize("case,order,base", PARAMS)
 def test_convergence_order(case, order, base):
     prob, controls, pcof = CASES[case]
-    errs, slopes = _order_slope(prob, controls, pcof, order, base)
+    deep = _DEEP_CASES.get((case, order), {})
+    errs, slopes = _order_slope(prob, controls, pcof, order, base,
+                                n_refine=deep.get("n_refine", 4))
+    slopes = slopes[deep.get("skip_first", 0):]
+    errs_for_slopes = errs[1 + deep.get("skip_first", 0):]
     # skip refinements that hit machine precision
-    usable = [s for s, e in zip(slopes, errs[1:]) if e > 1e-13]
+    usable = [s for s, e in zip(slopes, errs_for_slopes) if e > 1e-13]
     assert usable, f"{case}: all errors at machine precision, lower base"
     mean_slope = np.mean(usable)
     assert abs(mean_slope - order) < 0.55, (
