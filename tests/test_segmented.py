@@ -128,3 +128,21 @@ def test_save_every_thinned_matches_full():
     np.testing.assert_allclose(
         np.asarray(eval_forward(prob, controls, pcof, 4, save_every=8)),
         full[::8], rtol=1e-14, atol=1e-15)
+
+
+def test_optimize_gate_segmented_path():
+    """optimize_gate(n_segments>0) drives the segmented objective+gradient
+    and converges the same as the plain path (the auto rule flips at
+    nsteps >= 16384; force it here on a small problem)."""
+    import qgd_tpu
+
+    prob = construct_rabi_prob(nsteps=40)
+    ctrl = GRAPEControl(1, float(prob.tf))
+    target = np.array([[0, 1], [1, 0]], dtype=complex)
+    h = qgd_tpu.optimize_gate(prob, ctrl, jnp.array([0.4, 0.1]), target,
+                              order=8, maxIter=60,
+                              ridge_penalty_strength=0.0, print_level=0,
+                              n_segments=8)
+    assert h.obj_value[h.best_index] < 1e-7
+    amp = float(np.hypot(*h.best_pcof))
+    assert abs(amp - 0.5) < 5e-4
