@@ -40,11 +40,20 @@ NSTEPS = 1000
 ORDER = 4
 # f32 propagation (production TPU mode: the MXU has no native f64; the
 # objective still reduces in f64) batches 32 scenarios in HBM. Measured
-# lever breakdown on the v5-lite chip (2026-08-18, steps/s):
-#   f64 schulz S=4  :  2,862   (round-1 config)
-#   f32 schulz S=4  : 23,010   (8.0x from dtype alone)
-#   f32 schulz S=16 : 36,600
-#   f32 schulz S=32 : 40,308   (14.1x vs round 1; 40.8x vs 1-core baseline)
+# lever breakdown on the v5-lite chip (steps/s):
+#   2026-08-18 (matmul precision "default" = single-pass bf16 — since
+#   found NUMERICALLY INVALID: bf16 passes destabilize long horizons and
+#   drift the objective by ~2e-2 even at 3k steps; kept for the record):
+#     f64 schulz S=4  :  2,862   (round-1 config)
+#     f32 schulz S=4  : 23,010
+#     f32 schulz S=32 : 40,308
+#   2026-08-19 (library default now precision="highest" for all dots,
+#   objective correct to ~2e-5 of f64 at 30k steps):
+#     f32 S=32, highest everywhere, universal-init schulz : 18,330
+#     + Newton-Schulz construction at bf16 ("default") with
+#       full-precision refinement polish                  : 24,425
+#     + hoisted inverses warm-started from the drift-only
+#       inverse (16 iters instead of the 56-iter ramp)    : 51,442 (52.1x)
 SCENARIOS = 32
 WORK_DTYPE = "float32"
 TPU_DEADLINE_S = 1500

@@ -35,9 +35,22 @@ Everything is float64 by default (enabled at import) to meet the reference's
 gradient-exactness tolerances (test/GradientTests/compare_gradients.jl:47-48).
 """
 
+import os as _os
+
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+
+# TPU matmuls default to single-pass bf16 MXU arithmetic (~8-bit mantissa).
+# That is catastrophic for implicit timestepping: the Newton-Schulz stage
+# solve acquires a biased O(1e-3) per-step error and the propagation goes
+# exponentially unstable over >~1e4 steps (measured: CNOT3 f32 at
+# nsteps=30720 reaches guard penalty ~1e18 at "default" precision, while
+# "highest" matches the CPU-f32 result to 2e-6 at ~2.5x the step cost —
+# still far above the perf target). f64 and CPU paths are unaffected by
+# this flag. Override with QGD_MATMUL_PRECISION=default|high|highest.
+_jax.config.update("jax_default_matmul_precision",
+                   _os.environ.get("QGD_MATMUL_PRECISION", "highest"))
 
 from .problem import SchrodingerProblem, vector_problem  # noqa: E402
 from .ops.hermite import (  # noqa: E402

@@ -270,7 +270,13 @@ def hermite_forward_history(prob, controls, pcof, order: int = 2,
 
             xs = ((P[:-1], Q[:-1]), lhs_mats, lu, piv)
         elif precompute == "schulz":
-            Xs = schulz_inverse_auto(lhs_mats, prob.schulz_iters)
+            # Warm-start the whole batch of stage inverses from the ONE
+            # drift-only inverse (controls perturb each stage matrix by
+            # O(dt*amp)) — same scheme the in-scan path uses; ~3.5x fewer
+            # Newton-Schulz matmuls than the universal-init ramp, and these
+            # dominate the hot path's FLOPs.
+            Xs = schulz_inverse_auto(lhs_mats, prob.schulz_iters,
+                                     X0=_drift_stage_inverse(prob, m, dt))
 
             def step_fast(w, xs):
                 pq_n, M, X = xs
@@ -358,6 +364,8 @@ def _thinned_forward_history(prob, controls, pcof, order: int,
     P, Q, dt = P.astype(wd), Q.astype(wd), dt.astype(wd)
     mode = _segment_mode(prob)
     precond = _make_preconditioner(prob, dt, order)
+    schulz_X0 = (_drift_stage_inverse(prob, m, dt)
+                 if mode == "schulz" else None)
     S = prob.nsteps // save_every
     L = save_every
 
@@ -371,7 +379,7 @@ def _thinned_forward_history(prob, controls, pcof, order: int,
     def outer(w, xs):
         pl_, ql_, pr_, qr_ = xs
         hist = _forward_segment_scan(prob, m, dt, pl_, ql_, pr_, qr_, w, mode,
-                                     precond=precond)
+                                     precond=precond, schulz_X0=schulz_X0)
         return hist[-1], hist[-1]
 
     w0 = prob.w0
@@ -487,7 +495,9 @@ def eval_adjoint(prob, controls, pcof, terminal_condition, order: int = 2,
             xs = (rhs_mats[::-1], lhs_T[::-1], lu[::-1], piv[::-1],
                   f_mid[::-1])
         elif precompute == "schulz":
-            XT = schulz_inverse_auto(lhs_T, prob.schulz_iters)
+            XT = schulz_inverse_auto(
+                lhs_T, prob.schulz_iters,
+                X0=_drift_stage_inverse(prob, m, dt, transpose=True))
 
             def step_fast(lam, xs):
                 R, MT, X, f_n = xs

@@ -22,6 +22,7 @@ which *is* the discrete-adjoint transposed-LHS solve of the reference
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -107,7 +108,7 @@ def solve_factored(M_n, lu_n, piv_n, b, refine_iters: int = 3):
     )
 
 
-def schulz_inverse(M, X0, iters: int = 8):
+def schulz_inverse(M, X0, iters: int = 8, precision=None):
     """Newton–Schulz iteration ``X <- X (2I - M X)`` for the inverse of
     ``M`` — matmul-only, so it batches under ``vmap`` on TPU where a
     vmapped ``getrf`` wedges the axon remote compiler (the documented
@@ -119,11 +120,22 @@ def schulz_inverse(M, X0, iters: int = 8):
     same observation behind the reference's ``LUPreconditioner``
     (src/preconditioners.jl:44-55). Iteration count is static; converged
     iterations are numerically idempotent.
+
+    ``precision``: matmul precision for the iteration itself. The default
+    (``None``) inherits the global setting (``highest`` under qgd_tpu).
+    These iterations dominate the hot path's FLOPs (~112 MXU matmuls per
+    stage matrix vs ~20 matvecs for everything else), and Newton–Schulz is
+    self-correcting, so running them at single-pass bf16
+    (``lax.Precision.DEFAULT``) and letting :func:`inverse_stage_solve`'s
+    refinement sweeps (at full precision) polish the solve recovers the
+    accuracy at a fraction of the cost — the residual after refinement is
+    ``||I - X M||^(1+refine_iters)`` regardless of how X was built.
     """
     eye = jnp.eye(M.shape[-1], dtype=M.dtype)
 
     def body(_, X):
-        return X @ (2.0 * eye - M @ X)
+        MX = jnp.matmul(M, X, precision=precision)
+        return jnp.matmul(X, 2.0 * eye - MX, precision=precision)
 
     # rolled loop (not unrolled Python) — keeps the HLO small; the axon
     # remote compiler's time scales badly with program size
@@ -142,7 +154,7 @@ def schulz_universal_init(M):
 
 
 def schulz_inverse_auto(M, iters: int = 56, dtype=jnp.float32, X0=None,
-                        warm_iters: int | None = None):
+                        warm_iters: int | None = None, precision=None):
     """Approximate inverse of ``M`` by Newton–Schulz, computed in ``dtype``
     (f32: MXU-native).
 
@@ -154,14 +166,23 @@ def schulz_inverse_auto(M, iters: int = 56, dtype=jnp.float32, X0=None,
     inverse of the drift-only stage matrix, a control-sized perturbation
     away — in which case only ``warm_iters`` (default ``max(iters-40, 8)``)
     iterations run. No hidden budget is added in either case.
+
+    ``precision`` is forwarded to :func:`schulz_inverse` (see there for the
+    bf16-construction + full-precision-refinement rationale). When ``None``
+    it resolves to ``QGD_SCHULZ_PRECISION`` (default ``"default"``, i.e.
+    single-pass bf16 on TPU): every call site feeds the result through a
+    full-precision refinement solve, so cheap construction is safe — and
+    it is where ~85% of the hot path's MXU FLOPs live.
     """
+    if precision is None:
+        precision = os.environ.get("QGD_SCHULZ_PRECISION", "default")
     M32 = M.astype(dtype)
     if X0 is None:
         X0 = schulz_universal_init(M32)
     else:
         X0 = jnp.broadcast_to(X0.astype(dtype), M32.shape)
         iters = warm_iters if warm_iters is not None else max(iters - 40, 8)
-    return schulz_inverse(M32, X0, iters)
+    return schulz_inverse(M32, X0, iters, precision=precision)
 
 
 def inverse_stage_solve(M, Xinv, B, refine_iters: int = 4):

@@ -102,17 +102,21 @@ def _segment_mode(prob) -> str | None:
 
 
 def _forward_segment_scan(prob, m, dt, P_seg_l, Q_seg_l, P_seg_r, Q_seg_r,
-                          w_start, mode, precond=None):
+                          w_start, mode, precond=None, schulz_X0=None):
     """Propagate one segment of ``L`` steps from ``w_start``; returns the
     in-segment history ``(L+1, 2N, B)`` (index 0 = ``w_start``).
 
     ``P_seg_l/Q_seg_l``: control tables at the L step left endpoints;
-    ``P_seg_r/Q_seg_r``: at the L right endpoints.
+    ``P_seg_r/Q_seg_r``: at the L right endpoints. ``schulz_X0``
+    optionally warm-starts the batched stage inverses (the drift-only
+    inverse, hoisted once by the caller — ~3.5x fewer Newton-Schulz
+    matmuls than the per-segment universal-init ramp).
     """
     if mode in ("schulz", "full", "mats"):
         lhs_mats = _stage_matrices(prob, m, dt, P_seg_r, Q_seg_r, -1.0)
         if mode == "schulz":
-            Xs = schulz_inverse_auto(lhs_mats, prob.schulz_iters)
+            Xs = schulz_inverse_auto(lhs_mats, prob.schulz_iters,
+                                     X0=schulz_X0)
 
             def solve(M, X, rhs):
                 return inverse_stage_solve(M, X, rhs)
@@ -201,6 +205,15 @@ def segmented_objective_and_gradient(prob, controls, pcof, target,
     Pw, Qw, dt = P.astype(wd), Q.astype(wd), dt64.astype(wd)
     mode = _segment_mode(wprob)
     precond = _make_preconditioner(wprob, dt, order)
+    # drift-only stage inverse, hoisted once: warm start for every
+    # segment's batched Newton-Schulz stage inverses (fwd and lambda sweep)
+    if mode == "schulz":
+        from .forward import _drift_stage_inverse
+
+        schulz_X0 = _drift_stage_inverse(wprob, m, dt)
+        schulz_X0T = _drift_stage_inverse(wprob, m, dt, transpose=True)
+    else:
+        schulz_X0 = schulz_X0T = None
 
     # trapezoid weights on the global grid
     tau = jnp.ones(T + 1, dtype=jnp.float64).at[0].set(0.5).at[-1].set(0.5)
@@ -221,7 +234,8 @@ def segmented_objective_and_gradient(prob, controls, pcof, target,
         w, guard_acc = carry
         pl_, ql_, pr_, qr_, tau_k = xs
         hist = _forward_segment_scan(wprob, m, dt, pl_, ql_, pr_, qr_,
-                                     w, mode, precond=precond)
+                                     w, mode, precond=precond,
+                                     schulz_X0=schulz_X0)
         guard_acc = guard_acc + _guard_quad(prob, hist[:-1], tau_k)
         return (hist[-1], guard_acc), w       # emit segment-start snapshot
 
@@ -305,8 +319,8 @@ def segmented_objective_and_gradient(prob, controls, pcof, target,
         snap, pl_, ql_, pr_, qr_, tau_k, ts_k, k_rev = xs
 
         hist = _forward_segment_scan(wprob, m, dt, pl_, ql_, pr_, qr_,
-                                     snap, mode,
-                                     precond=precond)          # (L+1, 2N, B)
+                                     snap, mode, precond=precond,
+                                     schulz_X0=schulz_X0)      # (L+1, 2N, B)
 
         # guard forcing at indices a..b-1 (f64 weights, work-dtype result)
         f_seg = (guard_scale * tau_k)[:, None, None] * jnp.einsum(
@@ -317,7 +331,8 @@ def segmented_objective_and_gradient(prob, controls, pcof, target,
         rhs_mats, lhs_mats = _stage_matrices_both(wprob, m, dt, pl_, ql_)
         lhs_T = jnp.swapaxes(lhs_mats, -1, -2)
         if mode == "schulz":
-            XT = schulz_inverse_auto(lhs_T, prob.schulz_iters)
+            XT = schulz_inverse_auto(lhs_T, prob.schulz_iters,
+                                     X0=schulz_X0T)
 
             def lam_step(lam, xs_):
                 R, MT, X, f_n = xs_

@@ -50,6 +50,13 @@ def test_two_process_distributed_matches_single(tmp_path):
     # the workers set their own JAX_PLATFORMS/XLA_FLAGS; scrub this
     # process's 8-device forcing so each worker gets exactly 4
     env.pop("XLA_FLAGS", None)
+    # The axon sitecustomize registers its PJRT plugin at interpreter
+    # startup (before the worker's own os.environ lines run) whenever
+    # PALLAS_AXON_POOL_IPS is nonempty, which initializes a backend and
+    # pins jax.process_count() to 1. Scrub it here so the workers are
+    # pure-CPU jax.distributed processes.
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
     procs = [
         subprocess.Popen(
             [sys.executable, "-u",

@@ -102,3 +102,38 @@ def test_schulz_adjoint_vs_forced_exactness():
     gf = qgd_tpu.eval_grad_forced(ps, control, pcof, tgt, 4)
     scale = np.max(np.abs(np.asarray(gf)))
     assert np.max(np.abs(np.asarray(ga - gf))) / scale < 1e-12
+
+
+def test_matmul_precision_default_is_highest():
+    """qgd_tpu must pin jax_default_matmul_precision to "highest": TPU's
+    single-pass bf16 matmul default gives the Newton-Schulz stage solve a
+    biased O(1e-3) per-step error that turns exponentially unstable over
+    >~1e4 steps (measured: CNOT3 f32 at nsteps=30720 reached guard ~1e18
+    at "default"; "highest" matches the CPU-f32 objective to 2e-5).
+    CPU numerics are unaffected by the flag — this guards the config."""
+    import os
+
+    if "QGD_MATMUL_PRECISION" in os.environ:
+        pytest.skip("user override active")
+    assert jax.config.jax_default_matmul_precision == "highest"
+
+
+def test_schulz_low_precision_construction_refines_to_f64():
+    """The stage solve must stay f64-accurate even when the Newton-Schulz
+    construction itself runs at reduced matmul precision (the TPU hot-path
+    config: bf16 construction + full-precision refinement). On CPU the
+    precision flag is a no-op, so emulate a low-quality inverse by
+    truncating the iteration budget to the bf16-accuracy regime."""
+    rng = np.random.default_rng(2)
+    A0 = np.eye(16) + 0.1 * rng.standard_normal((16, 16))
+    A = A0 + 0.02 * rng.standard_normal((16, 16))
+    X0 = schulz_inverse_auto(jnp.asarray(A0))
+    # 2 warm iterations: inverse only good to ~1e-3 (bf16-like quality)
+    Xc = schulz_inverse_auto(jnp.asarray(A), X0=X0, warm_iters=2,
+                             precision="default")
+    resid = np.max(np.abs(np.asarray(Xc) @ A - np.eye(16)))
+    assert 1e-8 < resid < 0.05, resid    # genuinely crude inverse
+    b = jnp.asarray(rng.standard_normal((16, 3)))
+    x = inverse_stage_solve(jnp.asarray(A), Xc, b)
+    # refinement sweeps contract resid^(1+refine_iters) -> f64-level solve
+    assert np.max(np.abs(A @ np.asarray(x) - np.asarray(b))) < 1e-12
