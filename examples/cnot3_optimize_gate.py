@@ -36,6 +36,12 @@ def main(argv=None):
                         "highly-divisible count for segmented gradients)")
     p.add_argument("--solver", default=None,
                    help="stage solver override (e.g. schulz on TPU)")
+    p.add_argument("--no-carriers", action="store_true",
+                   help="plain B-spline envelopes instead of the default "
+                        "carrier-wave controls (carriers at the cross-Kerr "
+                        "sidebands, the Juqbox cnot3 scheme — without them "
+                        "the conditional CNOT transition is unresolvable "
+                        "and the optimization stalls near infidelity 0.75)")
     p.add_argument("--dtype", default=None,
                    help="propagation dtype override (float32 TPU mode)")
     p.add_argument("-o", "--output", default=None,
@@ -56,7 +62,15 @@ def main(argv=None):
         overrides["dtype"] = args.dtype
     if overrides:
         prob = dataclasses.replace(prob, **overrides)
-    controls = [qgd_tpu.BSpline2Control(args.d1, args.tf) for _ in range(3)]
+    if args.no_carriers:
+        controls = [qgd_tpu.BSpline2Control(args.d1, args.tf)
+                    for _ in range(3)]
+    else:
+        controls = [
+            qgd_tpu.CarrierControl(qgd_tpu.BSpline2Control(args.d1, args.tf),
+                                   freqs)
+            for freqs in qgd_tpu.models.cnot3_carrier_frequencies()
+        ]
     n = sum(c.N_coeff for c in controls)
     rng = np.random.default_rng(args.seed)
     pcof0 = jnp.asarray(rng.uniform(-args.amp_bound / 10,

@@ -43,23 +43,50 @@ class _Carrier(Control):
         return self.base_control.N_coeff
 
     def _tables(self, t, pcof, m: int):
-        """(P_table, Q_table) each (m,)."""
+        """(P_table, Q_table) each (m,).
+
+        Pure REAL arithmetic: complex dtypes inside jit are forbidden on
+        the axon TPU backend (the x64 rewriter cannot expand f64 -> c128,
+        and complex128 transfers hang the tunnel — CLAUDE.md rule 5), so
+        the scaled carrier derivatives ``(i w)^k/k! e^{iwt}`` are built
+        from their real/imaginary quarter-phase cycle and the Cauchy
+        product becomes two small lower-triangular real matmuls — the
+        reference's explicit real product rule (CarrierControl.jl:94-146,
+        hermite_carrier.jl fill_coswt/sinwt_derivatives!).
+        """
         npc = self.base_control.N_coeff
         ks = jnp.arange(m)
         fact = jnp.asarray([math.factorial(k) for k in range(m)],
                            dtype=jnp.float64)
+        # lower-triangular Cauchy-product index map: T[k, j] = g(k - j)
+        d = ks[:, None] - ks[None, :]
+        tri = d >= 0
+        dc = jnp.clip(d, 0)
         P = jnp.zeros((m,), dtype=jnp.float64)
         Q = jnp.zeros((m,), dtype=jnp.float64)
         for f in range(self.N_freq):
             w = self.carrier_frequencies[f]
             local = jax.lax.dynamic_slice(pcof, (f * npc,), (npc,))
-            env = (self.base_control.p_derivatives(t, local, m)
-                   + 1j * self.base_control.q_derivatives(t, local, m))
-            carrier = (1j * w) ** ks / fact * jnp.exp(1j * w * t)
-            # scaled-coefficient Cauchy product, truncated at m terms
-            full = jnp.convolve(env, carrier)[:m]
-            P = P + jnp.real(full)
-            Q = Q + jnp.imag(full)
+            ep = self.base_control.p_derivatives(t, local, m)
+            eq = self.base_control.q_derivatives(t, local, m)
+            # i^k e^{iwt} cycles through (cos, -sin, -cos, sin) + i*(...)
+            th = w * t
+            c, s = jnp.cos(th), jnp.sin(th)
+            re4 = jnp.stack([c, -s, -c, s])
+            im4 = jnp.stack([s, c, -s, -c])
+            # integer powers w^k by cumprod, NOT ``w ** ks``: the int
+            # exponent promotes to f64 and TPU lowers pow(negative base,
+            # float exponent) to NaN (carrier frequencies are negative)
+            wpow = jnp.concatenate([jnp.ones((1,), dtype=jnp.float64),
+                                    jnp.cumprod(jnp.full((m - 1,), w))])
+            scale = wpow / fact
+            cr = scale * re4[ks % 4]     # Re[(i w)^k/k! e^{iwt}]
+            ci = scale * im4[ks % 4]     # Im[...]
+            Cr = jnp.where(tri, cr[dc], 0.0)
+            Ci = jnp.where(tri, ci[dc], 0.0)
+            # (ep + i eq) * (cr + i ci), truncated Cauchy product
+            P = P + Cr @ ep - Ci @ eq
+            Q = Q + Ci @ ep + Cr @ eq
         return P, Q
 
     def p(self, t, pcof):

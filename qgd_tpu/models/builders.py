@@ -349,6 +349,24 @@ def cnot3_problem(tf=550.0, nsteps=5500, **kwargs) -> SchrodingerProblem:
         (4, 4, 4), (2, 2, 2), freqs, freqs, kerr, tf, nsteps, **kwargs)
 
 
+def cnot3_carrier_frequencies():
+    """Carrier frequencies (rad/ns) for the CNOT3 controls, one row per
+    oscillator: ``[0, -chi_qp, -chi_qr]`` — the cross-Kerr shifts of each
+    oscillator's 0<->1 transition conditioned on the state of the other
+    two. This is the Juqbox cnot3 scheme the reference's (absent)
+    ``cnot3_setup.jl`` mirrors (examples/cnot3_optimize_gate.jl:46): a
+    plain slow envelope cannot resolve the chi12 = 2pi*0.01 conditional
+    splitting over tf=550 with D1=10 splines, so the conditional (CNOT)
+    drive needs these sidebands. 3 freqs x 10 splines x 2 quadratures x
+    3 oscillators = 180 parameters, the documented Juqbox CNOT3 size."""
+    x12, x13, x23 = 2 * np.pi * np.array([0.01, 0.001, 0.001])
+    return [
+        [0.0, -x12, -x13],
+        [0.0, -x12, -x23],
+        [0.0, -x13, -x23],
+    ]
+
+
 def cnot2_problem(tf=100.0, nsteps=2000, **kwargs) -> SchrodingerProblem:
     """The CNOT2 benchmark: 2 transmons (2,2) dispersive, self-Kerr
     2pi*(0.2198, 0.2252), cross-Kerr 2pi*0.01, tf = 100
