@@ -25,7 +25,7 @@ def main():
     p.add_argument("--nsteps", type=int, default=550)
     p.add_argument("--tf", type=float, default=550.0)
     p.add_argument("--d1", type=int, default=10)
-    p.add_argument("--lr", type=float, default=0.1)
+    p.add_argument("--lr", type=float, default=1e-5)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 
@@ -35,8 +35,12 @@ def main():
     from qgd_tpu.parallel import make_mesh, multichip_train_step
 
     prob = qgd_tpu.models.cnot3_problem(tf=args.tf, nsteps=args.nsteps)
-    controls = tuple(qgd_tpu.BSpline2Control(args.d1, args.tf)
-                     for _ in range(3))
+    # carrier-wave controls (cross-Kerr sidebands) — without them the
+    # conditional CNOT transition is unresolvable (see cnot3_optimize_gate)
+    controls = tuple(
+        qgd_tpu.CarrierControl(qgd_tpu.BSpline2Control(args.d1, args.tf),
+                               freqs)
+        for freqs in qgd_tpu.models.cnot3_carrier_frequencies())
     n = sum(c.N_coeff for c in controls)
     rng = np.random.default_rng(args.seed)
     pcofs = jnp.asarray(rng.uniform(-2e-3, 2e-3, (args.scenarios, n)))

@@ -181,6 +181,20 @@ def schulz_inverse_auto(M, iters: int = 56, dtype=jnp.float32, X0=None,
         X0 = schulz_universal_init(M32)
     else:
         X0 = jnp.broadcast_to(X0.astype(dtype), M32.shape)
+        # Convergence guard: Newton-Schulz DIVERGES (to inf/NaN) when
+        # ||I - M X0|| >= 1, and a warm start from the drift-only inverse
+        # can exceed that radius at coarse dt (large control perturbation,
+        # e.g. Richardson sweeps / carrier sidebands with dt*w ~ O(1)).
+        # Fall back per-matrix to the universal init — crude within the
+        # warm budget but always convergent, and the refinement sweeps in
+        # inverse_stage_solve recover what the budget allows: degrade
+        # gracefully instead of NaN. One extra batched matmul (~3% of a
+        # 16-iteration budget). Frobenius >= spectral norm, so the test
+        # is conservative.
+        eye = jnp.eye(M32.shape[-1], dtype=M32.dtype)
+        R = eye - jnp.matmul(M32, X0, precision=precision)
+        r = jnp.sqrt(jnp.sum(R * R, axis=(-2, -1), keepdims=True))
+        X0 = jnp.where(r < 1.0, X0, schulz_universal_init(M32))
         iters = warm_iters if warm_iters is not None else max(iters - 40, 8)
     return schulz_inverse(M32, X0, iters, precision=precision)
 

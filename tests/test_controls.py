@@ -177,3 +177,31 @@ def test_carrier_product_rule_high_order():
     ad_table = np.asarray(
         taylor_coefficients(lambda tt: ctrl.p(tt, pcof), t, m))
     np.testing.assert_allclose(table, ad_table, rtol=1e-12, atol=1e-12)
+
+
+def test_carrier_negative_and_zero_frequencies():
+    """Negative and zero carrier frequencies (the CNOT3 sidebands are
+    [0, -chi, -chi']) — both the p/q tables and the pcof gradient. Guards
+    the real-arithmetic Cauchy product's integer frequency powers, which
+    must not lower to pow(negative, float) (NaN on TPU)."""
+    from qgd_tpu.controls.base import taylor_coefficients
+
+    base = SinCosControl(TF, frequency=0.7)
+    ctrl = CarrierControl(base, [0.0, -1.3])
+    pcof = jnp.asarray([0.4, -0.8, 0.25, 0.6])
+    t = jnp.asarray(0.63)
+    m = 5
+    for which in ("p", "q"):
+        table = np.asarray(getattr(ctrl, which + "_derivatives")(t, pcof, m))
+        ad_table = np.asarray(taylor_coefficients(
+            lambda tt: getattr(ctrl, which)(tt, pcof), t, m))
+        np.testing.assert_allclose(table, ad_table, rtol=1e-12, atol=1e-12,
+                                   err_msg=which)
+        assert np.all(np.isfinite(table))
+    g = np.asarray(jax.grad(lambda pc: ctrl.p(t, pc))(pcof))
+    eps = 1e-6
+    for i in range(4):
+        e = np.zeros(4)
+        e[i] = eps
+        fd = (float(ctrl.p(t, pcof + e)) - float(ctrl.p(t, pcof - e))) / (2 * eps)
+        np.testing.assert_allclose(g[i], fd, rtol=1e-8, atol=1e-10)

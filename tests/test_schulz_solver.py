@@ -137,3 +137,25 @@ def test_schulz_low_precision_construction_refines_to_f64():
     x = inverse_stage_solve(jnp.asarray(A), Xc, b)
     # refinement sweeps contract resid^(1+refine_iters) -> f64-level solve
     assert np.max(np.abs(A @ np.asarray(x) - np.asarray(b))) < 1e-12
+
+
+def test_schulz_warm_start_diverging_falls_back():
+    """A warm start outside the Newton-Schulz convergence radius
+    (||I - M X0|| >= 1, e.g. the drift-only inverse at very coarse dt with
+    strong controls) must fall back to the universal init per matrix and
+    return a finite, refinable inverse instead of diverging to NaN."""
+    rng = np.random.default_rng(7)
+    A = np.eye(16) + 0.3 * rng.standard_normal((16, 16))
+    X0_bad = jnp.asarray(5.0 * rng.standard_normal((16, 16)))  # way off
+    X = schulz_inverse_auto(jnp.asarray(A), X0=X0_bad, warm_iters=40)
+    assert np.all(np.isfinite(np.asarray(X)))
+    b = jnp.asarray(rng.standard_normal((16, 3)))
+    x = inverse_stage_solve(jnp.asarray(A), X, b)
+    assert np.max(np.abs(A @ np.asarray(x) - np.asarray(b))) < 1e-10
+    # batched: one good warm start, one bad — each resolved independently
+    Ab = jnp.stack([jnp.asarray(A), jnp.asarray(A)])
+    X0b = jnp.stack([jnp.asarray(np.linalg.inv(A)), X0_bad])
+    Xb = schulz_inverse_auto(Ab, X0=X0b, warm_iters=40)
+    assert np.all(np.isfinite(np.asarray(Xb)))
+    resid = np.max(np.abs(np.asarray(Xb) @ A - np.eye(16)), axis=(1, 2))
+    assert resid[0] < 1e-4 and resid[1] < 1e-2, resid
