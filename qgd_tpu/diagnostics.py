@@ -26,7 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .controls import as_control_tuple, control_tables
-from .forward import _time_grid, _hermite_step, _drift_stage_inverse
+from .forward import _time_grid, _hermite_step, _drift_stage_inverse, \
+    eval_forward
 from .problem import working_problem
 from .ops.hermite import (
     assemble_generator_stack,
@@ -34,6 +35,16 @@ from .ops.hermite import (
     build_rhs,
     build_lhs,
 )
+
+
+def _probe_indices(nsteps: int, sample: int) -> np.ndarray:
+    """Evenly spaced probe steps that divide ``nsteps`` so a thinned forward
+    pass lands states exactly on them."""
+    sample = max(1, min(sample, nsteps))
+    every = max(nsteps // sample, 1)
+    while nsteps % every:
+        every -= 1
+    return np.arange(0, nsteps, every)
 
 
 @partial(jax.jit, static_argnames=("order", "sample"))
@@ -46,17 +57,23 @@ def _stage_residuals_jit(prob, controls, pcof, order: int, sample: int):
     wprob = working_problem(prob)
     P, Q, dtw = P.astype(wd), Q.astype(wd), dt.astype(wd)
 
-    # evenly spaced probe steps (static); propagate the true state to each
-    # probe point is overkill — residual behavior is state-independent for
-    # these linear solves, so probe with the initial state batch.
-    idx = np.linspace(0, prob.nsteps - 1, sample).astype(int)
-    idx = np.unique(idx)
-    w = wprob.w0
+    # Probe each sampled step with the state the propagation actually
+    # reaches there (one thinned forward pass) — NOT just w0: the relative
+    # residual depends on the state's alignment with the poorly solved
+    # directions, and late-time states under large controls are exactly
+    # where warm-started Newton-Schulz degradation shows up (the round-2
+    # divergence-guard bug class). If the solver is sick the probe states
+    # themselves are polluted, which only makes the residuals louder.
+    idx = _probe_indices(prob.nsteps, sample)
+    every = int(idx[1] - idx[0]) if idx.size > 1 else prob.nsteps
+    w_probe = eval_forward(prob, controls, pcof, order,
+                           save_every=every)[:len(idx)].astype(wd)
 
     schulz_X0 = (_drift_stage_inverse(wprob, m, dtw)
                  if prob.solver == "schulz" else None)
 
-    def one(i):
+    def one(k, i):
+        w = w_probe[k]
         pq_n = (P[i], Q[i])
         pq_np1 = (P[i + 1], Q[i + 1])
         w_next, Ws = _hermite_step(wprob, m, dtw, w, pq_n, pq_np1,
@@ -71,7 +88,7 @@ def _stage_residuals_jit(prob, controls, pcof, order: int, sample: int):
         return (jnp.linalg.norm(r) /
                 jnp.maximum(jnp.linalg.norm(rhs), 1e-300))
 
-    res = jnp.stack([one(int(i)) for i in idx])
+    res = jnp.stack([one(k, int(i)) for k, i in enumerate(idx)])
     return res
 
 

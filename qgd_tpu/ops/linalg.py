@@ -30,6 +30,12 @@ import jax.numpy as jnp
 import jax.scipy.linalg as jsp_linalg
 from jax import lax
 
+# Resolved ONCE at import, like the jax_default_matmul_precision pin in
+# qgd_tpu/__init__: changing the env mid-process would affect newly traced
+# shapes but not already-cached compilations, giving inconsistent precision
+# across a session.
+SCHULZ_PRECISION = os.environ.get("QGD_SCHULZ_PRECISION", "default")
+
 
 def _needs_mixed_precision() -> bool:
     """True when the active backend lacks f64 LU (TPU / axon-tunneled TPU)."""
@@ -169,13 +175,23 @@ def schulz_inverse_auto(M, iters: int = 56, dtype=jnp.float32, X0=None,
 
     ``precision`` is forwarded to :func:`schulz_inverse` (see there for the
     bf16-construction + full-precision-refinement rationale). When ``None``
-    it resolves to ``QGD_SCHULZ_PRECISION`` (default ``"default"``, i.e.
-    single-pass bf16 on TPU): every call site feeds the result through a
-    full-precision refinement solve, so cheap construction is safe — and
-    it is where ~85% of the hot path's MXU FLOPs live.
+    it resolves to the import-time ``QGD_SCHULZ_PRECISION`` snapshot
+    (default ``"default"``, i.e. single-pass bf16 on TPU): every call site
+    feeds the result through a full-precision refinement solve, so cheap
+    construction is safe — and it is where ~85% of the hot path's MXU
+    FLOPs live.
+
+    On warm-start fallback the iteration count stays at the warm budget —
+    adding iterations only-when-needed would require ``lax.cond``, which
+    the scenario-vmapped production path lowers to ``select`` (both
+    branches always execute, ~4x the matmul bill). Instead the fallback is
+    made *observable*: solve quality is asserted by
+    ``qgd_tpu.diagnostics.stage_residuals`` (state-aware probes), and the
+    universal init's ramp is short for the well-conditioned stage
+    matrices this library builds (~2 log2(cond) iterations).
     """
     if precision is None:
-        precision = os.environ.get("QGD_SCHULZ_PRECISION", "default")
+        precision = SCHULZ_PRECISION
     M32 = M.astype(dtype)
     if X0 is None:
         X0 = schulz_universal_init(M32)
@@ -190,9 +206,13 @@ def schulz_inverse_auto(M, iters: int = 56, dtype=jnp.float32, X0=None,
         # inverse_stage_solve recover what the budget allows: degrade
         # gracefully instead of NaN. One extra batched matmul (~3% of a
         # 16-iteration budget). Frobenius >= spectral norm, so the test
-        # is conservative.
+        # is conservative. The guard residual itself runs at full matmul
+        # precision: it decides converge-vs-diverge, and at bf16 it would
+        # carry ~1e-2 relative error — enough to misclassify a borderline
+        # warm start (one batched matmul, negligible vs the iteration
+        # budget).
         eye = jnp.eye(M32.shape[-1], dtype=M32.dtype)
-        R = eye - jnp.matmul(M32, X0, precision=precision)
+        R = eye - jnp.matmul(M32, X0, precision=jax.lax.Precision.HIGHEST)
         r = jnp.sqrt(jnp.sum(R * R, axis=(-2, -1), keepdims=True))
         X0 = jnp.where(r < 1.0, X0, schulz_universal_init(M32))
         iters = warm_iters if warm_iters is not None else max(iters - 40, 8)

@@ -58,3 +58,25 @@ def test_histories_with_diagnostics():
     entry = res["Order 4"]
     assert len(entry["stage_residual"]) == len(entry["nsteps"])
     assert entry["stage_residual"][0]["max"] < 1e-12
+
+
+def test_state_aware_probe_catches_coarse_dt_degradation():
+    """Probe states come from a thinned forward pass (not just w0), so a
+    warm-start Newton-Schulz fallback at coarse dt — where the limited warm
+    iteration budget leaves an O(1) pre-refinement residual — is visible in
+    the reported residuals (VERDICT r2 weak #8: the round-2 divergence-guard
+    bug class)."""
+    prob = construct_rand_prob(6, 2, tf=2.0, nsteps=4, seed=7)
+    prob = dataclasses.replace(prob, solver="schulz")
+    controls = tuple(BSpline2Control(4, float(prob.tf)) for _ in range(2))
+    rng = np.random.default_rng(0)
+    # large amplitudes at coarse dt: dt*||controls|| ~ O(10), far outside
+    # the drift-warm-start convergence radius
+    pcof = jnp.asarray(rng.standard_normal(16) * 40.0)
+    d = stage_residuals(prob, controls, pcof, order=4, sample=4)
+    assert d["max"] > 1e-8, d
+
+    # the same system at fine dt is healthy again
+    prob_fine = dataclasses.replace(prob, nsteps=512)
+    d2 = stage_residuals(prob_fine, controls, pcof, order=4, sample=4)
+    assert d2["max"] < 1e-10, d2
