@@ -16,9 +16,13 @@ with f64 available for final verification at ~8x the cost.
 
 Robustness: the axon TPU remote-compile service in this container serializes
 compiles and can be wedged for tens of minutes by orphaned jobs, so the
-measurement runs in a subprocess with a deadline; on timeout it retries once
-and then falls back to the CPU backend (labeled via the metric suffix) so
-the driver always gets its JSON line.
+measurement runs in a subprocess with a per-attempt deadline and keeps
+retrying (health-probe gated) until an overall budget expires
+(QGD_BENCH_BUDGET_S, default 3 h — round 2 lost its TPU number to a
+2x1500 s policy during a transient queue stall; the driver allows far
+more). Only after the budget is exhausted does it fall back to the CPU
+backend, loudly labeled via the metric suffix, so the driver always gets
+its JSON line. Every attempt is logged to bench_debug.log (committed).
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md); the
 stand-in baseline is its hardware budget — a single CPU core — measured with
@@ -172,12 +176,26 @@ def main():
     result = None
     # the 32-scenario f32 hoisted stage tensors need ~6 GB > default cap
     hoist = {"QGD_HOIST_CAP_BYTES": "9000000000"}
-    if _tpu_tunnel_healthy():
-        result = _run_worker(hoist, TPU_DEADLINE_S)
-        if result is None:
-            result = _run_worker(hoist, TPU_DEADLINE_S)   # retry once
+    budget = float(os.environ.get("QGD_BENCH_BUDGET_S", "10800"))
+    deadline = time.time() + budget
+    attempt = 0
+    while result is None and time.time() < deadline:
+        attempt += 1
+        if not _tpu_tunnel_healthy():
+            _log_debug(f"attempt {attempt}: tunnel probe failed; "
+                       f"{deadline - time.time():.0f}s of budget left")
+            time.sleep(min(120, max(deadline - time.time(), 0)))
+            continue
+        _log_debug(f"attempt {attempt}: tunnel healthy, running TPU worker")
+        remaining = deadline - time.time()
+        result = _run_worker(hoist, max(min(TPU_DEADLINE_S, remaining), 60))
+        if result is not None:
+            _log_debug(f"attempt {attempt}: TPU worker OK "
+                       f"({result['steps_per_sec']:.1f} steps/s)")
     suffix = ""
     if result is None:
+        _log_debug(f"budget {budget:.0f}s exhausted after {attempt} "
+                   "attempts; falling back to CPU (labeled)")
         # TPU compile service unavailable: measure on CPU so the driver
         # still gets a number (labeled).
         result = _run_worker(
