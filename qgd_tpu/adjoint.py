@@ -41,6 +41,7 @@ from .objective import (
     objective_value,
     objective_parts,
     terminal_cost,
+    terminal_cost_and_grad,
     _realify_target,
 )
 from .ops.hermite import (
@@ -130,14 +131,20 @@ def compute_terminal_condition(prob, controls, pcof, target, final_state,
     ``-(final - target)`` etc. appear here without the minus.
     """
     controls = as_control_tuple(controls)
-    m = order // 2
-    dt, ts = _time_grid(prob)
     target_real = _realify_target(prob, target)
-    g = jax.grad(
-        lambda w: terminal_cost(w, target_real, prob.N_ess_levels, cost_type)
-    )(final_state)
+    _, g = terminal_cost_and_grad(final_state, target_real,
+                                  prob.N_ess_levels, cost_type)
     if forcing is not None:
         g = g + forcing
+    return _solve_lhsT_at_tf(prob, controls, pcof, g, order)
+
+
+def _solve_lhsT_at_tf(prob, controls, pcof, g, order: int):
+    """Solve the transposed one-step LHS at t_f against ``g`` (the stage
+    solve shared by :func:`compute_terminal_condition` and the sharded
+    Lagrange route)."""
+    m = order // 2
+    dt, ts = _time_grid(prob)
     p_vals, q_vals = control_tables_at(controls, pcof, prob.tf, m)
     A = assemble_generator_stack(prob, p_vals, q_vals, m)
     eye = jnp.eye(prob.real_system_size, dtype=jnp.float64)
@@ -173,10 +180,11 @@ def _step_residual(prob, controls, pcof, t_n, t_np1, dt, w_n, w_np1, m):
 
 @with_host_target(3)
 @partial(jax.jit, static_argnames=("order", "cost_type",
-                                   "ridge_penalty_strength"))
+                                   "ridge_penalty_strength", "ic_axis"))
 def objective_and_gradient(prob, controls, pcof, target, order: int = 4,
                            cost_type: str = "Infidelity",
-                           ridge_penalty_strength: float = 0.0):
+                           ridge_penalty_strength: float = 0.0,
+                           ic_axis: str | None = None):
     """One forward solve shared between the objective and its Lagrange
     gradient (the reference arranges the same sharing with its
     ``history_precomputed`` flag + pcof-memoization tracker,
@@ -185,6 +193,13 @@ def objective_and_gradient(prob, controls, pcof, target, order: int = 4,
 
     Returns ``((j1, guard, ridge), grad)`` with the ridge term and its
     gradient included.
+
+    ``ic_axis``: when called inside ``shard_map`` with the gate-basis
+    columns split over that mesh axis, all cross-column reductions (the
+    infidelity trace, the guard integral, the gradient accumulation) are
+    ``psum``-ed over it — the multi-chip gradient path, structured so NO
+    reverse-mode AD of the scan propagator is ever needed (the one program
+    family the TPU remote compiler cannot build; CLAUDE.md rule 1).
     """
     from .objective import guard_penalty_real
 
@@ -193,19 +208,25 @@ def objective_and_gradient(prob, controls, pcof, target, order: int = 4,
     target_real = _realify_target(prob, target)
     history = eval_forward(prob, controls, pcof, order)
     dt = prob.tf / prob.nsteps
-    j1 = terminal_cost(history[-1], target_real, prob.N_ess_levels, cost_type)
+    j1, _ = terminal_cost_and_grad(history[-1], target_real,
+                                   prob.N_ess_levels, cost_type, ic_axis)
     guard = guard_penalty_real(history, dt, prob.tf,
                                prob.guard_subspace_projector)
+    if ic_axis is not None:
+        guard = jax.lax.psum(guard, ic_axis)
     ridge = ridge_penalty_strength * jnp.vdot(pcof, pcof) / pcof.shape[0]
     grad = _discrete_adjoint_lagrange(prob, controls, pcof, target, order,
-                                      cost_type, history=history)
+                                      cost_type, history=history,
+                                      ic_axis=ic_axis)
     grad = grad + 2.0 * ridge_penalty_strength * pcof / pcof.shape[0]
     return (j1, guard, ridge), grad
 
 
 def _discrete_adjoint_lagrange(prob, controls, pcof, target, order, cost_type,
-                               history=None):
-    """Hand-structured discrete adjoint; see module docstring item (2)."""
+                               history=None, ic_axis=None):
+    """Hand-structured discrete adjoint; see module docstring item (2).
+    ``ic_axis``: psum cross-column reductions (see
+    :func:`objective_and_gradient`)."""
     m = order // 2
     dt, ts = _time_grid(prob)
 
@@ -217,10 +238,12 @@ def _discrete_adjoint_lagrange(prob, controls, pcof, target, order, cost_type,
     # (2) guard forcing (:134)
     forcing = compute_guard_forcing(prob, history)
 
-    # (3) terminal condition (:138)
-    lam_N = compute_terminal_condition(
-        prob, controls, pcof, target, history[-1], order, cost_type,
-        forcing=forcing[-1])
+    # (3) terminal condition (:138) — the terminal gradient's infidelity
+    # trace reduces over ALL gate columns (psum under sharding)
+    target_real = _realify_target(prob, target)
+    _, g_T = terminal_cost_and_grad(history[-1], target_real,
+                                    prob.N_ess_levels, cost_type, ic_axis)
+    lam_N = _solve_lhsT_at_tf(prob, controls, pcof, g_T + forcing[-1], order)
 
     # (4) backward lambda sweep (:144)
     lam_hist = eval_adjoint(prob, controls, pcof, lam_N, order,
@@ -251,19 +274,31 @@ def _discrete_adjoint_lagrange(prob, controls, pcof, target, order, cost_type,
     cot = (w_rhs[None, :, None, None] * lam_next[:, None]
            - w_lhs[None, :, None, None] * lam_hist[:, None])
 
-    def stack_fn(pc, t, w):
-        p_t, q_t = control_tables_at(controls, pc, t, m)
-        wd = prob.work_dtype
-        from .problem import working_problem
-        A = assemble_generator_stack(working_problem(prob),
-                                     p_t.astype(wd), q_t.astype(wd), m)
+    # The per-step VJP is split at the control-table boundary: the chain
+    #   pcof -> tables(t_k) -> A-stack -> derivative stack
+    # used to be transposed as one graph PER TIME POINT, which re-embedded
+    # the whole control-table build (for carrier controls: per-frequency
+    # spline evals + Cauchy products — hundreds of small ops) T times over.
+    # Instead: per-step VJPs stop at the table values (dense
+    # assembly/recursion transposes — MXU work), and the pcof chain rule is
+    # ONE reverse pass through the vectorized whole-grid table build.
+    # Identical chain rule, ~5x cheaper for the flagship carrier config.
+    from .controls import control_tables
+    from .problem import working_problem
+
+    wd = prob.work_dtype
+    wprob = working_problem(prob)
+    P64, Q64 = control_tables(controls, pcof, ts, m)    # (T+1, m+1, N_ops)
+    Pw, Qw = P64.astype(wd), Q64.astype(wd)
+
+    def stack_from_tables(p_t, q_t, w):
+        A = assemble_generator_stack(wprob, p_t, q_t, m)
         return scaled_derivatives(A, w.astype(wd), m)
 
-    def contrib(args):
-        t_k, w_k, cot_k = args
-        _, vjp = jax.vjp(lambda pc: stack_fn(pc, t_k, w_k), pcof)
-        (g,) = vjp(cot_k.astype(prob.work_dtype))
-        return g
+    def table_cot(p_t, q_t, w_k, cot_k):
+        _, vjp = jax.vjp(lambda p, q: stack_from_tables(p, q, w_k),
+                         p_t, q_t)
+        return vjp(cot_k.astype(wd))     # (dP_t, dQ_t) each (m+1, N_ops)
 
     T = ts.shape[0]
     try:
@@ -276,12 +311,18 @@ def _discrete_adjoint_lagrange(prob, controls, pcof, target, order, cost_type,
     # vmap), RAM only binds on CPU for very long horizons (nsteps ~ 1e5).
     chunk_limit = 256 if on_tpu else 4096
     if T <= chunk_limit:
-        contribs = jax.vmap(lambda t, w, ct: contrib((t, w, ct)))(
-            ts, history, cot)
+        cotP, cotQ = jax.vmap(table_cot)(Pw, Qw, history, cot)
     else:
-        contribs = jax.lax.map(contrib, (ts, history, cot),
-                               batch_size=min(1024, chunk_limit))
-    return jnp.sum(contribs, axis=0)
+        cotP, cotQ = jax.lax.map(lambda a: table_cot(*a),
+                                 (Pw, Qw, history, cot),
+                                 batch_size=min(1024, chunk_limit))
+    _, vjp_tables = jax.vjp(
+        lambda pc: control_tables(controls, pc, ts, m), pcof)
+    (grad,) = vjp_tables((cotP.astype(jnp.float64),
+                          cotQ.astype(jnp.float64)))
+    if ic_axis is not None:
+        grad = jax.lax.psum(grad, ic_axis)
+    return grad
 
 
 @with_host_target(3)

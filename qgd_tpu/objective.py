@@ -149,6 +149,41 @@ def terminal_cost(final_state, target_real, N_ess: int,
     raise ValueError(f"Invalid cost type: {cost_type}")
 
 
+def terminal_cost_and_grad(final_state, target_real, N_ess: int,
+                           cost_type: str = "Infidelity",
+                           ic_axis: str | None = None):
+    """``(J1, dJ1/d final_state)`` with optional initial-condition-axis
+    reduction for sharded evaluation.
+
+    Under ``shard_map`` with gate-basis columns split over ``ic_axis``,
+    the infidelity trace ``a + ib = tr(V' U)`` is a sum over ALL columns:
+    the local partial traces are ``psum``-ed before the value and the
+    per-local-column gradient ``-(2/N_ess^2)(a R + b T)`` are formed —
+    that gradient is exact for the *global* objective restricted to the
+    local columns (the only cross-column coupling is through the scalars
+    ``a, b``). Tracking/Norm costs are column-separable: value is psum-ed,
+    gradient is purely local.
+    """
+    if cost_type == "Infidelity":
+        N_tot = final_state.shape[0] // 2
+        R = target_real
+        T = _target_T(target_real, N_tot)
+        a = jnp.vdot(final_state, R)
+        b = jnp.vdot(final_state, T)
+        if ic_axis is not None:
+            a = jax.lax.psum(a, ic_axis)
+            b = jax.lax.psum(b, ic_axis)
+        val = 1.0 - (a * a + b * b) / (N_ess ** 2)
+        g = (-2.0 / N_ess ** 2) * (a * R + b * T)
+        return val, g
+    val, g = jax.value_and_grad(
+        lambda w: terminal_cost(w, target_real, N_ess, cost_type)
+    )(final_state)
+    if ic_axis is not None:
+        val = jax.lax.psum(val, ic_axis)
+    return val, g
+
+
 @with_host_target(3)
 @partial(jax.jit, static_argnames=("order", "cost_type"))
 def objective_parts(prob, controls, pcof, target, order: int = 2,

@@ -46,7 +46,7 @@ from .problem import working_problem
 from .objective import (
     with_host_target,
     _realify_target,
-    terminal_cost,
+    terminal_cost_and_grad,
 )
 from .ops.hermite import (
     assemble_generator_stack,
@@ -175,17 +175,24 @@ def _guard_quad(prob, hist_seg, tau_seg):
 
 @with_host_target(3)
 @partial(jax.jit, static_argnames=("order", "cost_type",
-                                  "ridge_penalty_strength", "n_segments"))
+                                  "ridge_penalty_strength", "n_segments",
+                                  "ic_axis"))
 def segmented_objective_and_gradient(prob, controls, pcof, target,
                                      order: int = 4,
                                      cost_type: str = "Infidelity",
                                      ridge_penalty_strength: float = 0.0,
-                                     n_segments: int = 0):
+                                     n_segments: int = 0,
+                                     ic_axis: str | None = None):
     """O(sqrt T)-memory equivalent of ``adjoint.objective_and_gradient``.
 
     Returns ``((j1, guard, ridge), grad)``; identical semantics to the plain
     path, different memory/recompute trade. ``n_segments=0`` -> auto
     (segment length near sqrt(nsteps)).
+
+    ``ic_axis``: psum the cross-column reductions over that mesh axis when
+    called inside ``shard_map`` with gate-basis columns sharded (see
+    ``adjoint.objective_and_gradient``) — the long-horizon multi-chip
+    gradient, still with no reverse-mode AD of any scan.
     """
     controls = as_control_tuple(controls)
     pcof = jnp.asarray(pcof, dtype=jnp.float64)
@@ -227,7 +234,6 @@ def segmented_objective_and_gradient(prob, controls, pcof, target,
     Pl, Pr = seg_tables(Pw)
     Ql, Qr = seg_tables(Qw)
     tau_seg = tau[:-1].reshape(S, L)          # weights for indices kL..kL+L-1
-    ts_seg = ts[:-1].reshape(S, L)
 
     # ---------------- forward pass: snapshots + guard accumulation --------
     def fwd_body(carry, xs):
@@ -248,18 +254,19 @@ def segmented_objective_and_gradient(prob, controls, pcof, target,
         prob, w_final[None].astype(jnp.float64),
         jnp.ones((1,), dtype=jnp.float64))
     guard = guard_sum * dt64 / prob.tf
+    if ic_axis is not None:
+        guard = jax.lax.psum(guard, ic_axis)
 
     w_final64 = w_final.astype(jnp.float64)
-    j1 = terminal_cost(w_final64, target_real, prob.N_ess_levels, cost_type)
+    j1, dj1 = terminal_cost_and_grad(w_final64, target_real,
+                                     prob.N_ess_levels, cost_type, ic_axis)
     ridge = ridge_penalty_strength * jnp.vdot(pcof, pcof) / pcof.shape[0]
 
     # ---------------- terminal condition ---------------------------------
     guard_scale = 2.0 * dt64 / prob.tf
     W = prob.guard_subspace_projector
     f_T = (guard_scale * tau[-1]) * (W @ w_final64)
-    g_T = jax.grad(
-        lambda w: terminal_cost(w, target_real, prob.N_ess_levels, cost_type)
-    )(w_final64) + f_T
+    g_T = dj1 + f_T
     p_f, q_f = control_tables_at(controls, pcof, prob.tf, m)
     A_f = assemble_generator_stack(wprob, p_f.astype(wd), q_f.astype(wd), m)
     eye = jnp.eye(prob.real_system_size, dtype=wd)
@@ -280,15 +287,20 @@ def segmented_objective_and_gradient(prob, controls, pcof, target,
     w_rhs = (c * dt64 ** jpow).astype(wd)      # RHS weights  dt^j c_j
     w_lhs = (c * (-dt64) ** jpow).astype(wd)   # LHS weights  (-dt)^j c_j
 
-    def stack_fn(pc, t, w):
-        p_t, q_t = control_tables_at(controls, pc, t, m)
-        A = assemble_generator_stack(wprob, p_t.astype(wd), q_t.astype(wd), m)
+    # Per-step VJPs stop at the control-table values (dense transposes);
+    # the pcof chain rule is ONE reverse pass through the vectorized grid
+    # table build at the very end — see adjoint._discrete_adjoint_lagrange
+    # for the rationale (the per-point table rebuild dominated carrier-
+    # control gradient latency). The per-segment table cotangents are tiny
+    # ((L, m+1, N_ops)), so emitting them keeps the O(sqrt T) state memory.
+    def stack_from_tables(p_t, q_t, w):
+        A = assemble_generator_stack(wprob, p_t, q_t, m)
         return scaled_derivatives(A, w.astype(wd), m)
 
-    def contrib(t_k, w_k, cot_k):
-        _, vjp = jax.vjp(lambda pc: stack_fn(pc, t_k, w_k), pcof)
-        (g,) = vjp(cot_k.astype(wd))
-        return g
+    def table_cot(p_t, q_t, w_k, cot_k):
+        _, vjp = jax.vjp(lambda p, q: stack_from_tables(p, q, w_k),
+                         p_t, q_t)
+        return vjp(cot_k.astype(wd))     # (dP_t, dQ_t)
 
     try:
         on_tpu = jax.default_backend() in ("tpu", "axon")
@@ -296,13 +308,11 @@ def segmented_objective_and_gradient(prob, controls, pcof, target,
         on_tpu = False
     chunk = 256 if on_tpu else 4096
 
-    def seg_contrib(ts_k, hist_k, cot_k):
+    def seg_table_cot(pl_, ql_, hist_k, cot_k):
         if L <= chunk:
-            g = jax.vmap(contrib)(ts_k, hist_k, cot_k)
-        else:
-            g = jax.lax.map(lambda a: contrib(*a), (ts_k, hist_k, cot_k),
-                            batch_size=chunk)
-        return jnp.sum(g, axis=0)
+            return jax.vmap(table_cot)(pl_, ql_, hist_k, cot_k)
+        return jax.lax.map(lambda a: table_cot(*a),
+                           (pl_, ql_, hist_k, cot_k), batch_size=chunk)
 
     # ---------------- backward pass over segments ------------------------
     # Per segment k (global steps a=kL .. b=kL+L):
@@ -314,9 +324,8 @@ def segmented_objective_and_gradient(prob, controls, pcof, target,
     #   3. merged cotangents for indices a..b-1:
     #        cot_i = w_rhs lam_{i+1} - w_lhs lam_i   (lam_0 := 0)
     #   4. gradient contribution sum over the L indices
-    def bwd_body(carry, xs):
-        lam_b, grad_acc = carry
-        snap, pl_, ql_, pr_, qr_, tau_k, ts_k, k_rev = xs
+    def bwd_body(lam_b, xs):
+        snap, pl_, ql_, pr_, qr_, tau_k, k_rev = xs
 
         hist = _forward_segment_scan(wprob, m, dt, pl_, ql_, pr_, qr_,
                                      snap, mode, precond=precond,
@@ -372,21 +381,31 @@ def segmented_objective_and_gradient(prob, controls, pcof, target,
         cot = (w_rhs[None, :, None, None] * lam_seg[1:, None]
                - w_lhs[None, :, None, None] * lam_seg[:-1, None])
 
-        grad_acc = grad_acc + seg_contrib(ts_k, hist[:-1], cot)
-        return (lam_seg[0], grad_acc), None
+        cotP_seg, cotQ_seg = seg_table_cot(pl_, ql_, hist[:-1], cot)
+        return lam_seg[0], (cotP_seg, cotQ_seg)
 
     rev = lambda a: a[::-1]
     k_rev_idx = jnp.arange(S)          # position in the REVERSED scan
-    (lam0, grad), _ = jax.lax.scan(
-        bwd_body,
-        (lam_T, jnp.zeros_like(pcof)),
+    lam0, (cotP_rev, cotQ_rev) = jax.lax.scan(
+        bwd_body, lam_T,
         (rev(snapshots), rev(Pl), rev(Ql), rev(Pr), rev(Qr),
-         rev(tau_seg), rev(ts_seg), k_rev_idx))
+         rev(tau_seg), k_rev_idx))
 
     # terminal index T: only the LHS term survives (no step starts at T)
     cot_T = -w_lhs[:, None, None] * lam_T[None]
-    grad = grad + contrib(ts[-1], w_final, cot_T)
+    cotPT, cotQT = table_cot(p_f.astype(wd), q_f.astype(wd), w_final, cot_T)
 
+    cotP = jnp.concatenate(
+        [cotP_rev[::-1].reshape(T, *cotPT.shape), cotPT[None]], axis=0)
+    cotQ = jnp.concatenate(
+        [cotQ_rev[::-1].reshape(T, *cotQT.shape), cotQT[None]], axis=0)
+    _, vjp_tables = jax.vjp(
+        lambda pc: control_tables(controls, pc, ts, m), pcof)
+    (grad,) = vjp_tables((cotP.astype(jnp.float64),
+                          cotQ.astype(jnp.float64)))
+
+    if ic_axis is not None:
+        grad = jax.lax.psum(grad, ic_axis)
     grad = grad + 2.0 * ridge_penalty_strength * pcof / pcof.shape[0]
     return (j1, guard, ridge), grad
 
