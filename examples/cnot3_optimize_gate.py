@@ -44,6 +44,12 @@ def main(argv=None):
                         "and the optimization stalls near infidelity 0.75)")
     p.add_argument("--dtype", default=None,
                    help="propagation dtype override (float32 TPU mode)")
+    p.add_argument("--lab-frame-target", action="store_true",
+                   help="skip the rotating-frame transform of the target "
+                        "(the round-2 mistake, kept for comparison: the "
+                        "frame's single-qudit Z phases are unreachable for "
+                        "bounded resonant drives and the optimization "
+                        "plateaus at infidelity ~0.47)")
     p.add_argument("-o", "--output", default=None,
                    help="history checkpoint basename (JSON+npz)")
     args = p.parse_args(argv)
@@ -76,13 +82,10 @@ def main(argv=None):
     pcof0 = jnp.asarray(rng.uniform(-args.amp_bound / 10,
                                     args.amp_bound / 10, n))
 
-    # CNOT on the first two qudits, identity on the third:
-    # |1 1 k> -> |1 0 k>, |1 0 k> -> |1 1 k|
-    pairs = []
-    for k in range(2):
-        pairs.append(((1, 1, k), (1, 0, k)))
-        pairs.append(((1, 0, k), (1, 1, k)))
-    target = qgd_tpu.create_gate((4, 4, 4), (2, 2, 2), pairs)
+    # CNOT on the first two qudits, identity on the third, in the rotating
+    # frame (docs/src/examples.md:142-146; see models.cnot3_target)
+    target = qgd_tpu.models.cnot3_target(
+        tf=args.tf, rotating_frame=not args.lab_frame_target)
 
     print(f"CNOT3: order={args.order} dt={args.stepsize} nsteps={nsteps} "
           f"n_params={n}")

@@ -367,6 +367,37 @@ def cnot3_carrier_frequencies():
     ]
 
 
+def cnot3_target(tf=550.0, rotating_frame=True) -> np.ndarray:
+    """The CNOT3 benchmark target: CNOT on qudits (1,2), identity on the
+    spectator, transformed into the rotating frame — the reference's
+    documented workflow multiplies the lab-frame gate by
+    ``rotation_matrix(subsystem_sizes, rotation_freqs, tf)``
+    (docs/src/examples.md:142-146; the dynamics run in the frame rotating
+    at the transition frequencies, so the realized gate is
+    ``exp(-i sum_q w_q n_q tf) U_rot(tf)`` and the rotating-frame target
+    must carry the inverse phases).
+
+    ``rotating_frame=False`` returns the bare lab-frame gate — the target
+    round 2's flagship optimized by mistake: the frame's single-qudit Z
+    phases are nearly unreachable for bounded resonant drives, which is
+    exactly the measured plateau (infidelity stalled at 0.47-0.49 with
+    per-column overlap magnitudes 0.95-0.99 but scattered phases;
+    results/diag/, tools/probes/cnot3_phase_analysis.py). With the rotated
+    target the same optimizer config passes infidelity 1.2e-2 within 130
+    L-BFGS iterations.
+    """
+    pairs = []
+    for k in range(2):
+        pairs.append(((1, 1, k), (1, 0, k)))
+        pairs.append(((1, 0, k), (1, 1, k)))
+    target = create_gate((4, 4, 4), (2, 2, 2), pairs)
+    if rotating_frame:
+        rots = rotation_matrix(
+            (4, 4, 4), 2 * np.pi * np.array([4.10336, 4.81831, 7.8447]), tf)
+        target = rots[0] @ rots[1] @ rots[2] @ target
+    return target
+
+
 def cnot2_problem(tf=100.0, nsteps=2000, **kwargs) -> SchrodingerProblem:
     """The CNOT2 benchmark: 2 transmons (2,2) dispersive, self-Kerr
     2pi*(0.2198, 0.2252), cross-Kerr 2pi*0.01, tf = 100

@@ -67,6 +67,31 @@ def test_create_gate_cnot():
     np.testing.assert_allclose(np.real(G), expected)
 
 
+def test_cnot3_target_rotating_frame():
+    """The benchmark target must carry the rotating-frame phases
+    (docs/src/examples.md:142-146): rotated = diag(exp(i sum_q w_q n_q tf))
+    @ lab gate. Round 2 optimized the lab-frame gate by mistake and
+    plateaued at infidelity 0.47 (results/diag/)."""
+    tf = 550.0
+    lab = qgd_tpu.models.cnot3_target(tf=tf, rotating_frame=False)
+    rot = qgd_tpu.models.cnot3_target(tf=tf, rotating_frame=True)
+    # unitary columns either way
+    np.testing.assert_allclose(np.linalg.norm(rot, axis=0), 1.0, atol=1e-12)
+    # per-row phases: exp(i (w1 n1 + w2 n2 + w3 n3) tf) in bitstring order
+    w = 2 * np.pi * np.array([4.10336, 4.81831, 7.8447])
+    phases = np.zeros(64, dtype=complex)
+    idx = 0
+    for n1 in range(4):
+        for n2 in range(4):
+            for n3 in range(4):
+                phases[idx] = np.exp(1j * tf * (w[0] * n1 + w[1] * n2
+                                                + w[2] * n3))
+                idx += 1
+    np.testing.assert_allclose(rot, phases[:, None] * lab, atol=1e-9)
+    # the lab gate is the plain CNOT x I embedding
+    assert np.allclose(lab.imag, 0.0)
+
+
 def test_lowering_operators_commutation():
     ops = lowering_operators_system((2, 3))
     a, b = ops
