@@ -103,14 +103,19 @@ def measure():
 
     fn = jax.jit(jax.vmap(one))
 
+    # jax.block_until_ready is a NO-OP on the axon remote backend (measured
+    # 2026-08-20: a first-eval result fetch blocked 254 s AFTER
+    # block_until_ready returned, tools/probes/flagship_latency.py) — a
+    # scalar result fetch is the only real synchronization, so every timed
+    # repetition ends with one.
     out = fn(pcofs)
-    jax.block_until_ready(out)   # compile + warmup
+    _ = float(out[0][0])         # compile + warmup, fetch-synced
 
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(pcofs)
-        jax.block_until_ready(out)
+        _ = float(out[0][0])
     elapsed = (time.perf_counter() - t0) / reps
 
     # objective+gradient = forward sweep + adjoint sweep (+ accumulation)

@@ -36,6 +36,10 @@ def main():
     p.add_argument("--ridge", type=float, default=1e-2)
     p.add_argument("--tf", type=float, default=550.0)
     p.add_argument("--max-cpu-time", type=float, default=86400.0)
+    p.add_argument("--carriers", default="default",
+                   help="carrier set: 'default' ([0,-xqp,-xqr] per osc), "
+                        "'extended' (adds the combined sideband "
+                        "-(xqp+xqr)), or 'none'")
     p.add_argument("--rotate-target", action="store_true",
                    help="transform the CNOT target into the rotating frame "
                         "(rotation_matrix(tf) @ target) — the reference's "
@@ -50,14 +54,26 @@ def main():
     import qgd_tpu
 
     prob = qgd_tpu.models.cnot3_problem(tf=args.tf, nsteps=args.nsteps)
-    controls = tuple(
-        qgd_tpu.CarrierControl(qgd_tpu.BSpline2Control(args.d1, args.tf), f)
-        for f in qgd_tpu.models.cnot3_carrier_frequencies())
+    freq_sets = qgd_tpu.models.cnot3_carrier_frequencies()
+    if args.carriers == "extended":
+        freq_sets = [list(f) + [f[1] + f[2]] for f in freq_sets]
+    if args.carriers == "none":
+        controls = tuple(qgd_tpu.BSpline2Control(args.d1, args.tf)
+                         for _ in range(3))
+    else:
+        controls = tuple(
+            qgd_tpu.CarrierControl(qgd_tpu.BSpline2Control(args.d1, args.tf),
+                                   f)
+            for f in freq_sets)
     n = sum(c.N_coeff for c in controls)
 
     if args.start == "plateau":
         d = np.load(os.path.join(os.path.dirname(__file__), "..", "..",
                                  "results", "cnot3_order4_tpu.npz"))
+        pcof0 = d["pcof"][-1]
+        assert pcof0.size == n, (pcof0.size, n)
+    elif args.start.startswith("file="):
+        d = np.load(args.start[5:])
         pcof0 = d["pcof"][-1]
         assert pcof0.size == n, (pcof0.size, n)
     elif args.start.startswith("seed"):

@@ -47,12 +47,18 @@ print(f"backend={jax.default_backend()} nsteps={nsteps} "
 t0 = time.time()
 out = fn(pcof)
 jax.block_until_ready(out)
-print(f"compile+first eval: {time.time()-t0:.1f} s", flush=True)
+print(f"compile+first eval (block_until_ready): {time.time()-t0:.1f} s",
+      flush=True)
 t0 = time.time()
+g0 = float(out[1][0])
+print(f"first-eval result fetch blocked a further {time.time()-t0:.1f} s "
+      f"(if large, block_until_ready does NOT synchronize on this "
+      f"backend and only fetch-timed numbers are real)", flush=True)
 reps = 3
+t0 = time.time()
 for _ in range(reps):
     out = fn(pcof)
-    jax.block_until_ready(out)
+    _sync = float(out[1][0])     # scalar fetch = true synchronization
 per = (time.time() - t0) / reps
 (j1, guard, _), grad = out
 print(f"PER_EVAL {per:.2f} s   j1={float(j1):.6f} guard={float(guard):.4e} "
