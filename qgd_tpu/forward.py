@@ -110,8 +110,28 @@ def _stage_matrices(prob, m, dt, P, Q, sign: float):
     """Batched dense one-step matrices ``sum_j (sign*dt)^j c_j D_j`` at the
     time points whose control tables are ``P, Q (T, m, N_ops)`` — the fully
     parallel, state-independent precompute (MXU-saturating batched matmuls),
-    hoisted out of the sequential scan."""
+    hoisted out of the sequential scan.
+
+    ``QGD_PALLAS=1`` (read at trace time) routes the f32 build through the
+    fused Pallas kernel (ops/pallas_step.py): the recursion + weighted sum
+    for one time point runs entirely in VMEM instead of as ~m(m+3)/2
+    separate XLA ops. Interpret mode off-TPU, so the wired path is testable
+    on CPU."""
     eye = jnp.eye(prob.real_system_size, dtype=prob.system_sym.dtype)
+
+    if (_os.environ.get("QGD_PALLAS", "0") == "1"
+            and prob.system_sym.dtype == jnp.float32):
+        from .ops.pallas_step import hermite_lhs_matrix_kernel_call
+
+        A = jax.vmap(lambda p, q: assemble_generator_stack(prob, p, q, m))(
+            P, Q)
+        try:
+            interp = jax.default_backend() not in ("tpu", "axon")
+        except Exception:
+            interp = True
+        # kernel computes sum_j (-d)^j c_j D_j for input d; d = -sign*dt
+        return hermite_lhs_matrix_kernel_call(A, -sign * dt, m,
+                                              interpret=interp)
 
     def build(p, q):
         A = assemble_generator_stack(prob, p, q, m)

@@ -219,15 +219,23 @@ def schulz_inverse_auto(M, iters: int = 56, dtype=jnp.float32, X0=None,
     return schulz_inverse(M32, X0, iters, precision=precision)
 
 
-def inverse_stage_solve(M, Xinv, B, refine_iters: int = 4):
+def inverse_stage_solve(M, Xinv, B, refine_iters: int | None = None):
     """Solve ``M X = B`` given an approximate inverse ``Xinv`` (typically
     f32 from :func:`schulz_inverse`), recovering the right-hand side's
     precision by iterative refinement with residuals in ``B.dtype``:
     ``x <- x + Xinv (b - M x)``, error contraction ``||I - Xinv M||`` per
     sweep. Matmul-only (MXU path, vmap-safe on TPU). Wrapped in
     ``custom_linear_solve`` so reverse-mode AD solves the transposed system
-    with ``Xinv^T`` — the discrete adjoint's transposed-LHS solve."""
+    with ``Xinv^T`` — the discrete adjoint's transposed-LHS solve.
+
+    ``refine_iters`` defaults by target precision: a converged (possibly
+    bf16-constructed) inverse has ``||I - Xinv M|| <~ 1e-2``, so 2 sweeps
+    reach f32 roundoff (1e-2^3 ~ 1e-6) and 4 reach f64. These sweeps run
+    SERIALLY inside the propagation scan — the hot latency path on TPU —
+    so the f64 budget must not be paid for f32 rhs."""
     bd = B.dtype
+    if refine_iters is None:
+        refine_iters = 2 if bd == jnp.float32 else 4
 
     def refine(rhs, trans):
         Mop = jnp.swapaxes(M, -1, -2) if trans else M

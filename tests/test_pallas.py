@@ -45,3 +45,34 @@ def test_lhs_kernel_matches_reference(m):
         D = scaled_derivatives(A[k], eye, m)
         expect = np.asarray(build_lhs(D, jnp.float32(dt), m))
         np.testing.assert_allclose(out[k], expect, rtol=2e-6, atol=2e-6)
+
+
+def test_wired_stage_matrices_pallas_path(monkeypatch):
+    """QGD_PALLAS=1 routes the hoisted stage-matrix build through the fused
+    kernel (interpret mode off-TPU); must equal the XLA build bit-for-bit
+    in f32 for both signs (forward LHS and adjoint RHS)."""
+    import dataclasses
+    import qgd_tpu
+    from qgd_tpu.controls import control_tables, as_control_tuple
+    from qgd_tpu.forward import _stage_matrices, _time_grid
+    from qgd_tpu.problem import working_problem
+
+    prob = qgd_tpu.models.cnot2_problem(nsteps=6)
+    prob = dataclasses.replace(prob, dtype="float32", solver="schulz")
+    wprob = working_problem(prob)
+    ctrls = as_control_tuple(
+        tuple(qgd_tpu.BSpline2Control(4, float(prob.tf)) for _ in range(2)))
+    rng = np.random.default_rng(0)
+    pcof = jnp.asarray(rng.standard_normal(16) * 0.1)
+    m = 2
+    dt, ts = _time_grid(prob)
+    P, Q = control_tables(ctrls, pcof, ts, m)
+    P, Q = P.astype(jnp.float32), Q.astype(jnp.float32)
+    dt32 = dt.astype(jnp.float32)
+
+    for sign in (1.0, -1.0):
+        monkeypatch.delenv("QGD_PALLAS", raising=False)
+        ref = np.asarray(_stage_matrices(wprob, m, dt32, P, Q, sign))
+        monkeypatch.setenv("QGD_PALLAS", "1")
+        fused = np.asarray(_stage_matrices(wprob, m, dt32, P, Q, sign))
+        np.testing.assert_allclose(fused, ref, rtol=2e-6, atol=2e-7)

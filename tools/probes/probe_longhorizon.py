@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Long-horizon gradient probes (VERDICT r2 item 5).
+
+(a) Bracket the f64 segmented-gradient device fault between nsteps=1e4
+    (known good) and 1e5 (known "UNAVAILABLE: TPU device error", measured
+    round 2 BEFORE the matmul-precision pin — retest included).
+(b) Demonstrate a >=5e5-step CNOT3 gradient (the reference's dt=1e-4
+    order-2 operating point class, examples/cnot3_optimize_gate.sb:30-33)
+    in f32 on chip / f64 on CPU.
+
+One shape per invocation (CLAUDE.md rule 4: probe one program at a time).
+
+Usage: python tools/probes/probe_longhorizon.py NSTEPS [--f64] [--order N]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("nsteps", type=int)
+    p.add_argument("--f64", action="store_true")
+    p.add_argument("--order", type=int, default=2)
+    p.add_argument("--d1", type=int, default=10)
+    args = p.parse_args()
+
+    import dataclasses
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import qgd_tpu
+    from qgd_tpu.segmented import segmented_objective_and_gradient
+
+    prob = qgd_tpu.models.cnot3_problem(tf=550.0, nsteps=args.nsteps)
+    prob = dataclasses.replace(
+        prob, solver="schulz",
+        dtype="float64" if args.f64 else "float32")
+    controls = tuple(
+        qgd_tpu.CarrierControl(qgd_tpu.BSpline2Control(args.d1, 550.0), f)
+        for f in qgd_tpu.models.cnot3_carrier_frequencies())
+    tgt = qgd_tpu.models.cnot3_target()
+    rng = np.random.default_rng(1)
+    pcof = jnp.asarray(rng.uniform(-0.002, 0.002,
+                                   sum(c.N_coeff for c in controls)))
+
+    print(f"backend={jax.default_backend()} nsteps={args.nsteps} "
+          f"dtype={prob.dtype} order={args.order}", flush=True)
+    t0 = time.time()
+    (j1, guard, _), grad = segmented_objective_and_gradient(
+        prob, controls, pcof, tgt, args.order)
+    gnorm = float(jnp.linalg.norm(grad))     # result fetch = real sync
+    wall = time.time() - t0
+    rec = {"nsteps": args.nsteps, "dtype": prob.dtype, "order": args.order,
+           "wall_s": round(wall, 1), "j1": float(j1),
+           "guard": float(guard), "gradnorm": gnorm,
+           "steps_per_sec": round(3 * args.nsteps / wall, 1)}
+    print("LONGHORIZON_RESULT " + json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()
