@@ -181,6 +181,54 @@ def load_setup(filename: str) -> dict:
                 cost_type=spec["cost_type"], **spec.get("options", {}))
 
 
+def verify_history_f64(filename: str, which: str = "best") -> dict:
+    """f64 final-verification pass over a recorded optimization (the
+    production discipline of CLAUDE.md rule 7: f32 propagation optimizes,
+    f64 verifies). Rebuilds the setup from ``<filename>.setup.*``, forces
+    ``dtype="float64"`` / the f64 solve path, re-evaluates the recorded
+    ``best`` (min objective) or ``last`` pcof, and writes the comparison
+    to ``<filename>.f64check.json``.
+
+    Returns the record: f32-recorded vs f64-verified (j1, guard, ridge)
+    and their deltas.
+    """
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from .objective import objective_parts
+    from .optimize import OptimizationHistory
+
+    setup = load_setup(filename)
+    hist = OptimizationHistory.load(filename)
+    idx = (int(np.argmin(hist.obj_value)) if which == "best"
+           else len(hist.obj_value) - 1)
+    pcof = jnp.asarray(hist.pcof[idx], dtype=jnp.float64)
+    prob = dataclasses.replace(setup["prob"], dtype="float64")
+    if prob.solver == "schulz":
+        # keep the matmul-only solver (valid in f64 too) — the point is
+        # the precision of the propagation, not the solve algorithm
+        prob = dataclasses.replace(prob, solver="schulz")
+    j1, guard, ridge = objective_parts(
+        prob, setup["controls"], pcof, setup["target"], setup["order"],
+        ridge_penalty_strength=setup["ridge_penalty_strength"],
+        cost_type=setup["cost_type"])
+    rec = {
+        "which": which, "eval_index": idx,
+        "recorded_objective": float(hist.obj_value[idx]),
+        "recorded_infidelity": float(hist.infidelity[idx]),
+        "f64_infidelity": float(j1),
+        "f64_guard": float(guard),
+        "f64_objective": float(j1 + guard + ridge),
+        "delta_infidelity": float(j1) - float(hist.infidelity[idx]),
+        "delta_objective": (float(j1 + guard + ridge)
+                            - float(hist.obj_value[idx])),
+    }
+    with open(filename + ".f64check.json", "w") as f:
+        json.dump(rec, f, indent=1)
+    return rec
+
+
 def resume_optimization(filename: str, **overrides):
     """Resume an optimization run from its checkpoint files alone: rebuilds
     the problem/controls/target/bounds from ``<filename>.setup.*`` and

@@ -88,3 +88,27 @@ def test_resume_after_restart(tmp_path):
     assert len(h2.obj_value) > n1
     assert h2.obj_value[-1] <= h1.obj_value[0]
     np.testing.assert_array_equal(h2.pcof[n1 - 1], h1.pcof[-1])
+
+
+def test_verify_history_f64(tmp_path):
+    """The f64 final-verification pass (CLAUDE.md rule 7 discipline): an
+    f32-propagated optimization record re-evaluated in f64 must agree to
+    the f32 noise scale, and the record lands next to the checkpoint."""
+    import dataclasses
+    import json
+    from qgd_tpu.checkpoint import verify_history_f64
+
+    prob = qgd_tpu.models.cnot2_problem(nsteps=40)
+    prob = dataclasses.replace(prob, dtype="float32")
+    controls = (BSpline2Control(4, float(prob.tf)),
+                BSpline2Control(4, float(prob.tf)))
+    rng = np.random.default_rng(2)
+    tgt = rng.standard_normal((4, 4)) + 1j * rng.standard_normal((4, 4))
+    base = str(tmp_path / "run")
+    qgd_tpu.optimize_gate(prob, controls, jnp.asarray(
+        rng.standard_normal(16) * 0.05), tgt, order=4, maxIter=3,
+        filename=base, print_level=0)
+    rec = verify_history_f64(base, which="best")
+    assert abs(rec["delta_objective"]) < 1e-4
+    on_disk = json.load(open(base + ".f64check.json"))
+    assert on_disk["f64_objective"] == rec["f64_objective"]

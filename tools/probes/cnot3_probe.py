@@ -40,6 +40,11 @@ def main():
                    help="carrier set: 'default' ([0,-xqp,-xqr] per osc), "
                         "'extended' (adds the combined sideband "
                         "-(xqp+xqr)), or 'none'")
+    p.add_argument("--guard-scale", type=float, default=1.0,
+                   help="scale the guard-subspace projector (0 = no guard "
+                        "penalty); probes whether a plateau is the "
+                        "infidelity-guard tradeoff")
+    p.add_argument("--lbfgs-history", type=int, default=40)
     p.add_argument("--rotate-target", action="store_true",
                    help="transform the CNOT target into the rotating frame "
                         "(rotation_matrix(tf) @ target) — the reference's "
@@ -53,7 +58,13 @@ def main():
     import jax.numpy as jnp
     import qgd_tpu
 
+    import dataclasses
+
     prob = qgd_tpu.models.cnot3_problem(tf=args.tf, nsteps=args.nsteps)
+    if args.guard_scale != 1.0:
+        prob = dataclasses.replace(
+            prob, guard_subspace_projector=(
+                args.guard_scale * prob.guard_subspace_projector))
     freq_sets = qgd_tpu.models.cnot3_carrier_frequencies()
     if args.carriers == "extended":
         freq_sets = [list(f) + [f[1] + f[2]] for f in freq_sets]
@@ -91,7 +102,7 @@ def main():
     hist = qgd_tpu.optimize_gate(
         prob, controls, jnp.asarray(pcof0), target, order=args.order,
         pcof_L=-args.bound, pcof_U=args.bound, maxIter=args.max_iter,
-        max_cpu_time=args.max_cpu_time,
+        max_cpu_time=args.max_cpu_time, lbfgs_history=args.lbfgs_history,
         ridge_penalty_strength=args.ridge, filename=out, print_level=5)
     wall = time.time() - t0
     inf = np.asarray(hist.infidelity)
