@@ -36,6 +36,12 @@ from jax import lax
 # across a session.
 SCHULZ_PRECISION = os.environ.get("QGD_SCHULZ_PRECISION", "default")
 
+# Refinement sweeps for f32 right-hand sides (import-time; see
+# inverse_stage_solve). 0 is valid ONLY with QGD_SCHULZ_PRECISION=highest
+# (an f32-exact inverse needs no polish; the serial per-step solve then
+# collapses to one matmul) — the latency experiment knob.
+REFINE_SWEEPS_F32 = int(os.environ.get("QGD_REFINE_SWEEPS_F32", "2"))
+
 
 def _needs_mixed_precision() -> bool:
     """True when the active backend lacks f64 LU (TPU / axon-tunneled TPU)."""
@@ -235,7 +241,7 @@ def inverse_stage_solve(M, Xinv, B, refine_iters: int | None = None):
     so the f64 budget must not be paid for f32 rhs."""
     bd = B.dtype
     if refine_iters is None:
-        refine_iters = 2 if bd == jnp.float32 else 4
+        refine_iters = REFINE_SWEEPS_F32 if bd == jnp.float32 else 4
 
     def refine(rhs, trans):
         Mop = jnp.swapaxes(M, -1, -2) if trans else M
