@@ -29,16 +29,25 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from .hermite import hermite_coefficients
 
 
-def _rhs_kernel(m, coeffs, a_ref, w_ref, dt_ref, out_ref):
+def _step_weights(dt, m, sign: float):
+    """``(m+1,)`` f32 array of ``(sign*dt)^j c_j`` — the dt-dependent
+    accumulation weights, computed outside the kernel and passed through
+    SMEM (Mosaic forbids direct loads from ANY-space refs; scalars and tiny
+    vectors belong in SMEM)."""
+    coeffs = jnp.asarray(hermite_coefficients(m), dtype=jnp.float32)
+    d = jnp.asarray(sign, jnp.float32) * jnp.asarray(dt, jnp.float32)
+    return coeffs * d ** jnp.arange(m + 1, dtype=jnp.float32)
+
+
+def _rhs_kernel(m, a_ref, w_ref, wts_ref, out_ref):
     """One grid cell: A_stack (m, n, n), W (n, b) -> RHS (n, b)."""
-    dt = dt_ref[0]
     Ws = [w_ref[0]]
-    acc = coeffs[0] * Ws[0]
-    dt_pow = dt
+    acc = wts_ref[0] * Ws[0]
     for j in range(m):
         s = jnp.dot(a_ref[0, j], Ws[0], preferred_element_type=jnp.float32)
         for i in range(1, j + 1):
@@ -46,8 +55,7 @@ def _rhs_kernel(m, coeffs, a_ref, w_ref, dt_ref, out_ref):
                             preferred_element_type=jnp.float32)
         w_next = s / float(j + 1)
         Ws.append(w_next)
-        acc = acc + (coeffs[j + 1] * dt_pow) * w_next
-        dt_pow = dt_pow * dt
+        acc = acc + wts_ref[j + 1] * w_next
     out_ref[0] = acc
 
 
@@ -58,33 +66,30 @@ def hermite_rhs_kernel_call(A_stack, W, dt, m: int, interpret: bool = False):
     ``A_stack (B, m, n, n)``, ``W (B, n, b)``, scalar ``dt`` -> ``(B, n, b)``.
     ``B`` is the batch (scenario) grid axis.
     """
-    coeffs = hermite_coefficients(m)
     B, _, n, _ = A_stack.shape
     b = W.shape[-1]
-    dt_arr = jnp.broadcast_to(jnp.asarray(dt, jnp.float32), (1,))
-    kernel = functools.partial(_rhs_kernel, m, coeffs)
+    kernel = functools.partial(_rhs_kernel, m)
     return pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, m, n, n), lambda i: (i, 0, 0, 0)),
             pl.BlockSpec((1, n, b), lambda i: (i, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, n, b), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, n, b), jnp.float32),
         interpret=interpret,
-    )(A_stack.astype(jnp.float32), W.astype(jnp.float32), dt_arr)
+    )(A_stack.astype(jnp.float32), W.astype(jnp.float32),
+      _step_weights(dt, m, 1.0))
 
 
-def _lhs_kernel(m, coeffs, a_ref, dt_ref, out_ref):
+def _lhs_kernel(m, a_ref, wts_ref, out_ref):
     """One grid cell: A_stack (m, n, n) -> LHS matrix (n, n)."""
-    dt = dt_ref[0]
     n = out_ref.shape[-1]
     eye = jnp.eye(n, dtype=jnp.float32)
     Ds = [eye]
-    acc = coeffs[0] * eye
-    dt_pow = -dt
+    acc = wts_ref[0] * eye
     for j in range(m):
         s = jnp.dot(a_ref[0, j], Ds[0], preferred_element_type=jnp.float32)
         for i in range(1, j + 1):
@@ -92,8 +97,7 @@ def _lhs_kernel(m, coeffs, a_ref, dt_ref, out_ref):
                             preferred_element_type=jnp.float32)
         d_next = s / float(j + 1)
         Ds.append(d_next)
-        acc = acc + (coeffs[j + 1] * dt_pow) * d_next
-        dt_pow = dt_pow * (-dt)
+        acc = acc + wts_ref[j + 1] * d_next
     out_ref[0] = acc
 
 
@@ -102,20 +106,19 @@ def hermite_lhs_matrix_kernel_call(A_stack, dt, m: int,
                                    interpret: bool = False):
     """Fused implicit-stage matrix materialization.
 
-    ``A_stack (B, m, n, n)``, scalar ``dt`` -> ``(B, n, n)`` LHS matrices.
+    ``A_stack (B, m, n, n)``, scalar ``dt`` -> ``(B, n, n)`` LHS matrices
+    (``sum_j (-dt)^j c_j D_j``).
     """
-    coeffs = hermite_coefficients(m)
     B, _, n, _ = A_stack.shape
-    dt_arr = jnp.broadcast_to(jnp.asarray(dt, jnp.float32), (1,))
-    kernel = functools.partial(_lhs_kernel, m, coeffs)
+    kernel = functools.partial(_lhs_kernel, m)
     return pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, m, n, n), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, n, n), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, n, n), jnp.float32),
         interpret=interpret,
-    )(A_stack.astype(jnp.float32), dt_arr)
+    )(A_stack.astype(jnp.float32), _step_weights(dt, m, -1.0))
