@@ -120,6 +120,7 @@ def optimize_gate(prob, controls, pcof_init, target, *, order: int = 4,
                   print_level: int = 5,
                   cost_type: str = "Infidelity",
                   n_segments: int | None = None,
+                  max_dispatch_steps: int = 0,
                   resume_from: str | None = None) -> OptimizationHistory:
     """Optimize the control vector (reference ``optimize_gate``,
     src/ipopt_optimal_control.jl:187-471).
@@ -132,6 +133,11 @@ def optimize_gate(prob, controls, pcof_init, target, *, order: int = 4,
     O(sqrt T)-memory segmented gradient (qgd_tpu/segmented.py) once
     ``nsteps`` is long enough that the O(T) history tensors matter;
     ``0`` forces the plain path; ``>0`` forces that segment count.
+    ``max_dispatch_steps > 0`` routes every evaluation through the
+    host-chunked driver (qgd_tpu/chunked.py) with at most that many
+    Hermite steps per device execution — required on the axon TPU for
+    horizons whose single-dispatch gradient would exceed the ~300 s
+    per-execution watchdog (CLAUDE.md rule 8).
     Returns the :class:`OptimizationHistory`.
     """
     controls = as_control_tuple(controls)
@@ -173,20 +179,33 @@ def optimize_gate(prob, controls, pcof_init, target, *, order: int = 4,
         # tensors dominate memory; switch to the O(sqrt T) segmented route.
         n_segments = 0 if prob.nsteps < 16384 else -1
 
-    @jax.jit
-    def value_parts_and_grad(pc):
-        # Objective and gradient share one forward solve explicitly (the
-        # role of the reference's pcof-keyed memoization tracker).
-        if n_segments == 0:
-            (j1, guard, ridge), grad = objective_and_gradient(
-                prob, controls, pc, target, order, cost_type=cost_type,
-                ridge_penalty_strength=ridge_penalty_strength)
-        else:
-            (j1, guard, ridge), grad = segmented_objective_and_gradient(
+    if max_dispatch_steps > 0:
+        from .chunked import chunked_objective_and_gradient
+
+        def value_parts_and_grad(pc):
+            # Host loop over bounded device dispatches — not jittable as
+            # one program by design (that is the point).
+            (j1, guard, ridge), grad = chunked_objective_and_gradient(
                 prob, controls, pc, target, order, cost_type=cost_type,
                 ridge_penalty_strength=ridge_penalty_strength,
-                n_segments=max(n_segments, 0))
-        return j1 + guard + ridge, (j1, guard, ridge), grad
+                n_segments=max(n_segments or 0, 0),
+                max_dispatch_steps=max_dispatch_steps)
+            return j1 + guard + ridge, (j1, guard, ridge), grad
+    else:
+        @jax.jit
+        def value_parts_and_grad(pc):
+            # Objective and gradient share one forward solve explicitly (the
+            # role of the reference's pcof-keyed memoization tracker).
+            if n_segments == 0:
+                (j1, guard, ridge), grad = objective_and_gradient(
+                    prob, controls, pc, target, order, cost_type=cost_type,
+                    ridge_penalty_strength=ridge_penalty_strength)
+            else:
+                (j1, guard, ridge), grad = segmented_objective_and_gradient(
+                    prob, controls, pc, target, order, cost_type=cost_type,
+                    ridge_penalty_strength=ridge_penalty_strength,
+                    n_segments=max(n_segments, 0))
+            return j1 + guard + ridge, (j1, guard, ridge), grad
 
     history = resumed if resumed is not None else OptimizationHistory()
     t_start = time.perf_counter()

@@ -10,7 +10,13 @@
 
 One shape per invocation (CLAUDE.md rule 4: probe one program at a time).
 
+(c) ``--chunk-steps N``: route through the host-chunked driver
+    (qgd_tpu/chunked.py) so every device execution covers at most N steps
+    — the mitigation for the ~300 s per-execution watchdog (CLAUDE.md
+    rule 8) that makes (a)'s faulting sizes and (b) runnable on-device.
+
 Usage: python tools/probes/probe_longhorizon.py NSTEPS [--f64] [--order N]
+           [--chunk-steps N]
 """
 
 import argparse
@@ -28,6 +34,9 @@ def main():
     p.add_argument("--f64", action="store_true")
     p.add_argument("--order", type=int, default=2)
     p.add_argument("--d1", type=int, default=10)
+    p.add_argument("--chunk-steps", type=int, default=0,
+                   help="max Hermite steps per device dispatch (0 = one "
+                        "dispatch, the plain segmented path)")
     args = p.parse_args()
 
     import dataclasses
@@ -51,13 +60,25 @@ def main():
                                    sum(c.N_coeff for c in controls)))
 
     print(f"backend={jax.default_backend()} nsteps={args.nsteps} "
-          f"dtype={prob.dtype} order={args.order}", flush=True)
+          f"dtype={prob.dtype} order={args.order} "
+          f"chunk_steps={args.chunk_steps}", flush=True)
     t0 = time.time()
-    (j1, guard, _), grad = segmented_objective_and_gradient(
-        prob, controls, pcof, tgt, args.order)
-    gnorm = float(jnp.linalg.norm(grad))     # result fetch = real sync
+    if args.chunk_steps > 0:
+        from qgd_tpu.chunked import chunked_objective_and_gradient
+
+        def prog(phase, k, n, w):
+            print(f"  {phase} chunk {k + 1}/{n}: {w:.1f} s", flush=True)
+
+        (j1, guard, _), grad = chunked_objective_and_gradient(
+            prob, controls, pcof, tgt, args.order,
+            max_dispatch_steps=args.chunk_steps, progress=prog)
+    else:
+        (j1, guard, _), grad = segmented_objective_and_gradient(
+            prob, controls, pcof, tgt, args.order)
+    gnorm = float(jnp.linalg.norm(jnp.asarray(grad)))  # fetch = real sync
     wall = time.time() - t0
     rec = {"nsteps": args.nsteps, "dtype": prob.dtype, "order": args.order,
+           "chunk_steps": args.chunk_steps,
            "wall_s": round(wall, 1), "j1": float(j1),
            "guard": float(guard), "gradnorm": gnorm,
            "steps_per_sec": round(3 * args.nsteps / wall, 1)}
