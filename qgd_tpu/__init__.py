@@ -112,6 +112,7 @@ from .segmented import (  # noqa: E402
     segmented_gradient,
     choose_segments,
 )
+from .chunked import chunked_objective_and_gradient  # noqa: E402
 from .diagnostics import stage_residuals  # noqa: E402
 from .checkpoint import (  # noqa: E402
     save_setup,
@@ -219,6 +220,7 @@ __all__ = [
     "discrete_adjoint",
     "segmented_objective_and_gradient",
     "segmented_gradient",
+    "chunked_objective_and_gradient",
     "choose_segments",
     "stage_residuals",
     "save_setup",
