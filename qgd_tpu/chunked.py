@@ -360,6 +360,13 @@ def chunked_objective_and_gradient(prob, controls, pcof, target,
         S_c = segments_per_chunk
     else:
         S_c = _chunk_divisor(S, L, max_dispatch_steps)
+        if max_dispatch_steps > 0 and S_c * L > max_dispatch_steps:
+            import warnings
+
+            warnings.warn(
+                f"segment length L={L} alone exceeds max_dispatch_steps="
+                f"{max_dispatch_steps}; dispatches will cover {S_c * L} "
+                f"steps. Pass n_segments to shorten segments.")
     C = S // S_c
     dt = prob.tf / T
 
