@@ -130,16 +130,28 @@ def find_target_y(x1, y1, x2, y2, target_y):
     return float(np.exp(lx))
 
 
-def get_runtime_ratios(results, results_reference, target_error: float = 1e-7):
+def get_runtime_ratios(results, results_reference, target_error: float = 1e-7,
+                       extrapolate: bool = False):
     """Runtime-to-target-error ratios vs a reference sweep — the reference's
     speed metric vs Juqbox (test_convergence.jl:256-281). Both arguments are
-    ``get_histories`` outputs; returns ``{order_key: ratio}``."""
+    ``get_histories`` outputs; returns ``{order_key: ratio}``.
+
+    Default semantics match the reference: the target must be bracketed by
+    the sweep or ValueError is raised. ``extrapolate=True`` additionally
+    allows extending a sweep's last log-log segment beyond its final point
+    — useful when the baseline's cost to actually *reach* the target is
+    prohibitive (e.g. an order-2 method needs ~sqrt(err1/err2) more steps
+    per decade); such ratios are asymptotic estimates, not measurements,
+    and callers should label them so."""
     def runtime_to_target(entry):
         errs, times = entry["rel_errs"], entry["elapsed"][1:]
         for i in range(1, len(errs)):
             if errs[i] <= target_error <= errs[i - 1]:
                 return find_target_y(times[i - 1], errs[i - 1], times[i],
                                      errs[i], target_error)
+        if extrapolate and len(errs) >= 2 and errs[-1] > target_error:
+            return find_target_y(times[-2], errs[-2], times[-1], errs[-1],
+                                 target_error)
         raise ValueError("target error not bracketed by sweep")
 
     ref_key = next(iter(results_reference))

@@ -143,3 +143,12 @@ def test_runtime_ratios_synthetic():
     assert 0.0 < ratios["Order 4"] < 1.0  # ours reaches 1e-7 faster
     # interpolation sanity: target at an endpoint returns that x
     assert abs(find_target_y(1.0, 1e-6, 2.0, 1e-8, 1e-6) - 1.0) < 1e-12
+    # opt-in extrapolation past the final sweep point (default: raise)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        get_runtime_ratios(ours, ref, target_error=1e-9)
+    r = get_runtime_ratios(ours, ref, target_error=1e-9, extrapolate=True)
+    # ref's last segment doubles time per error decade -> 8.0 s at 1e-9;
+    # ours doubles time per TWO decades -> 0.4*sqrt(2) s at 1e-9
+    assert abs(r["Order 4"] - 0.4 * np.sqrt(2) / 8.0) < 1e-9

@@ -63,12 +63,26 @@ def main():
     verlet = verlet_histories(prob, controls, pcof, args.verlet_iters,
                               base_nsteps=args.verlet_base,
                               min_error_limit=args.target / 30.0)
-    ratios = get_runtime_ratios(ours, verlet, target_error=args.target)
+    try:
+        ratios = get_runtime_ratios(ours, verlet, target_error=args.target)
+    except ValueError as e:
+        ratios = {"error": str(e)}
+    # The reference draws its target line at 1e-7; a NumPy Verlet sweep
+    # actually REACHING 1e-7 on CNOT3 costs hours (order 2: ~sqrt(10) more
+    # steps per error decade), so also record the asymptotic estimate from
+    # each sweep's final log-log segment, labeled as such.
+    try:
+        ratios_1e7_extrap = get_runtime_ratios(ours, verlet,
+                                               target_error=1e-7,
+                                               extrapolate=True)
+    except ValueError:
+        ratios_1e7_extrap = None
 
     rec = {
         "target_error": args.target,
         "pcof_source": "results/cnot3_r3_flagship.npz (optimized)",
         "runtime_ratios_vs_verlet": ratios,
+        "runtime_ratios_vs_verlet_1e-7_extrapolated": ratios_1e7_extrap,
         "hermite": {k: {kk: v[kk] for kk in ("elapsed", "nsteps",
                                              "rel_errs")}
                     for k, v in ours.items()},
