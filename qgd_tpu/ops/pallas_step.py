@@ -69,25 +69,37 @@ def hermite_rhs_kernel_call(A_stack, W, dt, m: int, interpret: bool = False):
     B, _, n, _ = A_stack.shape
     b = W.shape[-1]
     kernel = functools.partial(_rhs_kernel, m)
-    return pl.pallas_call(
-        kernel,
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, m, n, n), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, n, b), lambda i: (i, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((1, n, b), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, n, b), jnp.float32),
-        interpret=interpret,
-    )(A_stack.astype(jnp.float32), W.astype(jnp.float32),
-      _step_weights(dt, m, 1.0))
+    # Trace the pallas_call with x64 OFF: under jax_enable_x64 the
+    # BlockSpec index maps lower their constant indices to i64 and Mosaic
+    # fails server-side with "failed to legalize operation 'func.return'"
+    # on the (i32, i64, i64, i64) window transform (measured 2026-08-20).
+    # Everything in the kernel is f32, so the context changes nothing else.
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            kernel,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, m, n, n), lambda i: (i, 0, 0, 0)),
+                pl.BlockSpec((1, n, b), lambda i: (i, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((1, n, b), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, n, b), jnp.float32),
+            interpret=interpret,
+        )(A_stack.astype(jnp.float32), W.astype(jnp.float32),
+          _step_weights(dt, m, 1.0))
 
 
 def _lhs_kernel(m, a_ref, wts_ref, out_ref):
     """One grid cell: A_stack (m, n, n) -> LHS matrix (n, n)."""
     n = out_ref.shape[-1]
-    eye = jnp.eye(n, dtype=jnp.float32)
+    # NOT jnp.eye: under jax_enable_x64 it lowers to int64 iota/cmpi, and
+    # Mosaic's vector layout only supports bitwidths <= 32 — the server-side
+    # compile aborts with "Check failed: has_single_bit(bitwidth_) &&
+    # bitwidth_ <= 32" (measured 2026-08-20). Build the identity from i32.
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+           ).astype(jnp.float32)
     Ds = [eye]
     acc = wts_ref[0] * eye
     for j in range(m):
@@ -111,14 +123,16 @@ def hermite_lhs_matrix_kernel_call(A_stack, dt, m: int,
     """
     B, _, n, _ = A_stack.shape
     kernel = functools.partial(_lhs_kernel, m)
-    return pl.pallas_call(
-        kernel,
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, m, n, n), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((1, n, n), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, n, n), jnp.float32),
-        interpret=interpret,
-    )(A_stack.astype(jnp.float32), _step_weights(dt, m, -1.0))
+    # x64 off during the trace — see hermite_rhs_kernel_call.
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            kernel,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, m, n, n), lambda i: (i, 0, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((1, n, n), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, n, n), jnp.float32),
+            interpret=interpret,
+        )(A_stack.astype(jnp.float32), _step_weights(dt, m, -1.0))

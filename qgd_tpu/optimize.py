@@ -169,7 +169,13 @@ def optimize_gate(prob, controls, pcof_init, target, *, order: int = 4,
                    cost_type=cost_type, maxIter=maxIter,
                    max_cpu_time=max_cpu_time, stop_objective=stop_objective,
                    tol=tol, lbfgs_history=lbfgs_history, method=method,
-                   print_level=print_level)
+                   print_level=print_level,
+                   # Routing flags must survive into resume_optimization:
+                   # resuming a long-horizon run without max_dispatch_steps
+                   # would re-enter exactly the >300 s single-dispatch
+                   # configuration the flag exists to avoid (CLAUDE.md rule 8).
+                   n_segments=n_segments,
+                   max_dispatch_steps=max_dispatch_steps)
 
     from .adjoint import objective_and_gradient
     from .segmented import segmented_objective_and_gradient
@@ -182,13 +188,19 @@ def optimize_gate(prob, controls, pcof_init, target, *, order: int = 4,
     if max_dispatch_steps > 0:
         from .chunked import chunked_objective_and_gradient
 
+        # Chunking always implies segmentation (the chunk driver iterates
+        # over segments); n_segments<=0 (incl. the explicit "force plain
+        # path" 0 and the auto sentinel -1) means auto-select inside the
+        # chunked driver.
+        chunk_segments = n_segments if n_segments and n_segments > 0 else 0
+
         def value_parts_and_grad(pc):
             # Host loop over bounded device dispatches — not jittable as
             # one program by design (that is the point).
             (j1, guard, ridge), grad = chunked_objective_and_gradient(
                 prob, controls, pc, target, order, cost_type=cost_type,
                 ridge_penalty_strength=ridge_penalty_strength,
-                n_segments=max(n_segments or 0, 0),
+                n_segments=chunk_segments,
                 max_dispatch_steps=max_dispatch_steps)
             return j1 + guard + ridge, (j1, guard, ridge), grad
     else:
@@ -244,8 +256,15 @@ def optimize_gate(prob, controls, pcof_init, target, *, order: int = 4,
         except _StopOptimization:
             pass
     elif method == "lbfgs":
-        silent_value = jax.jit(
-            lambda pc: value_parts_and_grad(pc)[0])
+        if max_dispatch_steps > 0:
+            # The chunked evaluator is a host loop (it fetches per-chunk
+            # scalars); jit-tracing it raises ConcretizationTypeError the
+            # moment the zoom linesearch probes value_fn. Keep it un-jitted.
+            def silent_value(pc):
+                return jnp.asarray(value_parts_and_grad(pc)[0])
+        else:
+            silent_value = jax.jit(
+                lambda pc: value_parts_and_grad(pc)[0])
         _optax_lbfgs_loop(eval_and_record, silent_value, pcof0, lower, upper,
                           maxIter, lbfgs_history)
     else:

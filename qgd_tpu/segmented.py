@@ -163,6 +163,119 @@ def _forward_segment_scan(prob, m, dt, P_seg_l, Q_seg_l, P_seg_r, Q_seg_r,
     return jnp.concatenate([w_start[None], traj], axis=0)
 
 
+def _make_seg_table_cot(wprob, m: int, L: int):
+    """Build the (table_cot, seg_table_cot) pair shared by the segmented and
+    chunked backward drivers.
+
+    ``table_cot(p_t, q_t, w_k, cot_k)``: VJP of the per-time-point scaled
+    derivative stack w.r.t. the control-table values (the per-step cotangent
+    stops at the table boundary; the pcof chain rule happens once, at the
+    end, through the vectorized grid table build).
+    ``seg_table_cot``: the same mapped over a segment's ``L`` time points
+    (vmap when it fits, chunked ``lax.map`` on TPU where giant vmapped VJP
+    graphs inflate HLO size).
+    """
+    wd = wprob.work_dtype
+
+    def stack_from_tables(p_t, q_t, w):
+        A = assemble_generator_stack(wprob, p_t, q_t, m)
+        return scaled_derivatives(A, w.astype(wd), m)
+
+    def table_cot(p_t, q_t, w_k, cot_k):
+        _, vjp = jax.vjp(lambda p, q: stack_from_tables(p, q, w_k),
+                         p_t, q_t)
+        return vjp(cot_k.astype(wd))     # (dP_t, dQ_t)
+
+    try:
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        on_tpu = False
+    chunk = 256 if on_tpu else 4096
+
+    def seg_table_cot(pl_, ql_, hist_k, cot_k):
+        if L <= chunk:
+            return jax.vmap(table_cot)(pl_, ql_, hist_k, cot_k)
+        return jax.lax.map(lambda a: table_cot(*a),
+                           (pl_, ql_, hist_k, cot_k), batch_size=chunk)
+
+    return table_cot, seg_table_cot
+
+
+def _segment_bwd_body(wprob, m, dt, mode, precond, schulz_X0, schulz_X0T,
+                      schulz_iters, guard_scale, W, w_rhs, w_lhs,
+                      seg_table_cot, lam_b, snap, pl_, ql_, pr_, qr_,
+                      tau_k, first_scale):
+    """One segment of the backward pass — the body shared by
+    ``segmented_objective_and_gradient`` and ``chunked._bwd_chunk``
+    (per segment k spanning global steps a=kL .. b=kL+L):
+
+      1. re-forward the L states from ``snap``                (hist: a..b)
+      2. lambda sweep n = b-1 .. a:
+           lam_n = LHS_n^{-T} (RHS_n^T lam_{n+1} + f_n),  f_n = guard forcing
+         (reference backward sweep, src/forward_evolution.jl:421-483, with
+          the guard source of src/eval_grad_discrete_adjoint.jl:732-752)
+      3. merged cotangents for indices a..b-1:
+           cot_i = w_rhs lam_{i+1} - w_lhs lam_i   (lam_0 := 0)
+      4. the segment's control-table cotangents via ``seg_table_cot``
+
+    ``first_scale``: 0.0 at the globally-first segment (drops the
+    ``lambda_0`` multiplier — the initial state is fixed), 1.0 elsewhere.
+    Returns ``(lam at the segment's left edge, (cotP_seg, cotQ_seg))``.
+    """
+    wd = wprob.work_dtype
+    hist = _forward_segment_scan(wprob, m, dt, pl_, ql_, pr_, qr_,
+                                 snap, mode, precond=precond,
+                                 schulz_X0=schulz_X0)      # (L+1, 2N, B)
+
+    # guard forcing at indices a..b-1 (f64 weights, work-dtype result)
+    f_seg = (guard_scale * tau_k)[:, None, None] * jnp.einsum(
+        "ab,tbj->taj", W, hist[:-1].astype(jnp.float64))
+    f_seg = f_seg.astype(wd)
+
+    # stage matrices at the L left endpoints (times a..b-1)
+    rhs_mats, lhs_mats = _stage_matrices_both(wprob, m, dt, pl_, ql_)
+    lhs_T = jnp.swapaxes(lhs_mats, -1, -2)
+    if mode == "schulz":
+        XT = schulz_inverse_auto(lhs_T, schulz_iters, X0=schulz_X0T)
+
+        def lam_step(lam, xs_):
+            R, MT, X, f_n = xs_
+            mu = jnp.swapaxes(R, -1, -2) @ lam + f_n
+            lam_prev = inverse_stage_solve(MT, X, mu)
+            return lam_prev, lam_prev
+
+        lam_xs = (rhs_mats[::-1], lhs_T[::-1], XT[::-1], f_seg[::-1])
+    elif mode == "full":
+        lu, piv = factorize_stages(lhs_T)
+
+        def lam_step(lam, xs_):
+            R, MT, lu_n, piv_n, f_n = xs_
+            mu = jnp.swapaxes(R, -1, -2) @ lam + f_n
+            lam_prev = solve_factored(MT, lu_n, piv_n, mu)
+            return lam_prev, lam_prev
+
+        lam_xs = (rhs_mats[::-1], lhs_T[::-1], lu[::-1], piv[::-1],
+                  f_seg[::-1])
+    else:
+        def lam_step(lam, xs_):
+            R, MT, f_n = xs_
+            mu = jnp.swapaxes(R, -1, -2) @ lam + f_n
+            lam_prev = stage_solve(MT, mu)
+            return lam_prev, lam_prev
+
+        lam_xs = (rhs_mats[::-1], lhs_T[::-1], f_seg[::-1])
+
+    lam_a, lams_rev = jax.lax.scan(lam_step, lam_b, lam_xs)
+    lam_seg = jnp.concatenate([lams_rev[::-1], lam_b[None]], axis=0)
+    # lam_seg[i] = lam_{a+i} for i = 0..L
+    lam_seg = lam_seg.at[0].multiply(jnp.asarray(first_scale).astype(wd))
+
+    cot = (w_rhs[None, :, None, None] * lam_seg[1:, None]
+           - w_lhs[None, :, None, None] * lam_seg[:-1, None])
+    cotP_seg, cotQ_seg = seg_table_cot(pl_, ql_, hist[:-1], cot)
+    return lam_seg[0], (cotP_seg, cotQ_seg)
+
+
 def _guard_quad(prob, hist_seg, tau_seg):
     """f64 partial guard-penalty sum over one segment's states (indices
     weighted by the global trapezoid weights ``tau_seg``)."""
@@ -293,96 +406,20 @@ def segmented_objective_and_gradient(prob, controls, pcof, target,
     # for the rationale (the per-point table rebuild dominated carrier-
     # control gradient latency). The per-segment table cotangents are tiny
     # ((L, m+1, N_ops)), so emitting them keeps the O(sqrt T) state memory.
-    def stack_from_tables(p_t, q_t, w):
-        A = assemble_generator_stack(wprob, p_t, q_t, m)
-        return scaled_derivatives(A, w.astype(wd), m)
-
-    def table_cot(p_t, q_t, w_k, cot_k):
-        _, vjp = jax.vjp(lambda p, q: stack_from_tables(p, q, w_k),
-                         p_t, q_t)
-        return vjp(cot_k.astype(wd))     # (dP_t, dQ_t)
-
-    try:
-        on_tpu = jax.default_backend() in ("tpu", "axon")
-    except Exception:
-        on_tpu = False
-    chunk = 256 if on_tpu else 4096
-
-    def seg_table_cot(pl_, ql_, hist_k, cot_k):
-        if L <= chunk:
-            return jax.vmap(table_cot)(pl_, ql_, hist_k, cot_k)
-        return jax.lax.map(lambda a: table_cot(*a),
-                           (pl_, ql_, hist_k, cot_k), batch_size=chunk)
+    table_cot, seg_table_cot = _make_seg_table_cot(wprob, m, L)
 
     # ---------------- backward pass over segments ------------------------
-    # Per segment k (global steps a=kL .. b=kL+L):
-    #   1. re-forward L states from snapshot_k            (hist: indices a..b)
-    #   2. lambda sweep n = b-1 .. a:
-    #        lam_n = LHS_n^{-T} (RHS_n^T lam_{n+1} + f_n),  f_n = guard forcing
-    #      (reference backward sweep, src/forward_evolution.jl:421-483, with
-    #       the guard source of src/eval_grad_discrete_adjoint.jl:732-752)
-    #   3. merged cotangents for indices a..b-1:
-    #        cot_i = w_rhs lam_{i+1} - w_lhs lam_i   (lam_0 := 0)
-    #   4. gradient contribution sum over the L indices
+    # Body shared with the chunked driver: _segment_bwd_body (re-forward,
+    # lambda sweep, merged cotangents, per-segment table VJP).
     def bwd_body(lam_b, xs):
         snap, pl_, ql_, pr_, qr_, tau_k, k_rev = xs
-
-        hist = _forward_segment_scan(wprob, m, dt, pl_, ql_, pr_, qr_,
-                                     snap, mode, precond=precond,
-                                     schulz_X0=schulz_X0)      # (L+1, 2N, B)
-
-        # guard forcing at indices a..b-1 (f64 weights, work-dtype result)
-        f_seg = (guard_scale * tau_k)[:, None, None] * jnp.einsum(
-            "ab,tbj->taj", W, hist[:-1].astype(jnp.float64))
-        f_seg = f_seg.astype(wd)
-
-        # stage matrices at the L left endpoints (times a..b-1)
-        rhs_mats, lhs_mats = _stage_matrices_both(wprob, m, dt, pl_, ql_)
-        lhs_T = jnp.swapaxes(lhs_mats, -1, -2)
-        if mode == "schulz":
-            XT = schulz_inverse_auto(lhs_T, prob.schulz_iters,
-                                     X0=schulz_X0T)
-
-            def lam_step(lam, xs_):
-                R, MT, X, f_n = xs_
-                mu = jnp.swapaxes(R, -1, -2) @ lam + f_n
-                lam_prev = inverse_stage_solve(MT, X, mu)
-                return lam_prev, lam_prev
-
-            lam_xs = (rhs_mats[::-1], lhs_T[::-1], XT[::-1], f_seg[::-1])
-        elif mode == "full":
-            lu, piv = factorize_stages(lhs_T)
-
-            def lam_step(lam, xs_):
-                R, MT, lu_n, piv_n, f_n = xs_
-                mu = jnp.swapaxes(R, -1, -2) @ lam + f_n
-                lam_prev = solve_factored(MT, lu_n, piv_n, mu)
-                return lam_prev, lam_prev
-
-            lam_xs = (rhs_mats[::-1], lhs_T[::-1], lu[::-1], piv[::-1],
-                      f_seg[::-1])
-        else:
-            def lam_step(lam, xs_):
-                R, MT, f_n = xs_
-                mu = jnp.swapaxes(R, -1, -2) @ lam + f_n
-                lam_prev = stage_solve(MT, mu)
-                return lam_prev, lam_prev
-
-            lam_xs = (rhs_mats[::-1], lhs_T[::-1], f_seg[::-1])
-
-        lam_a, lams_rev = jax.lax.scan(lam_step, lam_b, lam_xs)
-        lam_seg = jnp.concatenate([lams_rev[::-1], lam_b[None]], axis=0)
-        # lam_seg[i] = lam_{a+i} for i = 0..L;  lam_0 := 0 (no multiplier
-        # for the fixed initial state) — zero it on the first segment
-        is_first = (k_rev == S - 1)
-        lam_seg = lam_seg.at[0].multiply(
-            jnp.where(is_first, 0.0, 1.0).astype(wd))
-
-        cot = (w_rhs[None, :, None, None] * lam_seg[1:, None]
-               - w_lhs[None, :, None, None] * lam_seg[:-1, None])
-
-        cotP_seg, cotQ_seg = seg_table_cot(pl_, ql_, hist[:-1], cot)
-        return lam_seg[0], (cotP_seg, cotQ_seg)
+        # lam_0 := 0 (no multiplier for the fixed initial state) — drop it
+        # on the globally-first segment
+        first_scale = jnp.where(k_rev == S - 1, 0.0, 1.0)
+        return _segment_bwd_body(
+            wprob, m, dt, mode, precond, schulz_X0, schulz_X0T,
+            prob.schulz_iters, guard_scale, W, w_rhs, w_lhs, seg_table_cot,
+            lam_b, snap, pl_, ql_, pr_, qr_, tau_k, first_scale)
 
     rev = lambda a: a[::-1]
     k_rev_idx = jnp.arange(S)          # position in the REVERSED scan
