@@ -62,6 +62,47 @@ SCENARIOS = 32
 WORK_DTYPE = "float32"
 TPU_DEADLINE_S = 1500
 
+# v5e (v5-lite) MXU peak, dense bf16 matmul. f32-precision dots at
+# jax_default_matmul_precision="highest" cost ~6 bf16 passes on this MXU,
+# so the achievable ceiling for the "highest"-precision fraction of the
+# FLOPs is ~peak/6; mfu_vs_bf16_peak below deliberately uses the RAW bf16
+# peak as denominator (the honest, hardware-absolute number).
+V5E_BF16_PEAK_FLOPS = 197e12
+
+
+def flops_model(order: int, n2: int, n_ic: int, schulz_warm_iters: int,
+                refine_sweeps: int) -> float:
+    """Algorithmic MXU FLOPs per Hermite timestep per scenario for the
+    production path bench.py measures (hoisted stage builds + warm-started
+    Newton-Schulz inverses + refined solves; forward + adjoint sweep).
+
+    Counted terms, all per timestep (m = order/2, matmul = 2*n2^3 FLOPs,
+    matvec batch = 2*n2^2*n_ic):
+
+    * stage-matrix builds: the identity Leibniz recursion costs
+      m(m+1)/2 matmuls; forward hoists the LHS, the adjoint sweep hoists
+      RHS+LHS from one shared recursion -> 2 * m(m+1)/2 matmuls.
+    * Newton-Schulz stage inverses: forward LHS + transposed LHS each run
+      `schulz_warm_iters` iterations of 2 matmuls plus 1 guard-residual
+      matmul -> 2 * (2*iters + 1) matmuls (~85% of all FLOPs; the
+      construction runs single-pass bf16, the rest "highest").
+    * state-side matvec batches (derivative recursion on w, X@rhs solves,
+      refinement sweeps, lambda sweep, cotangent transposes):
+      ~ 4*m(m+1)/2 + 6 + 4*refine_sweeps matvecs — ~2% of the total at
+      (n2, n_ic) = (128, 8); included for honesty, not significance.
+
+    This is a transparent lower-bound model (weighted sums, table VJPs and
+    reductions are ignored); its purpose is making MFU regressions visible
+    in BENCH records, not accounting exactness.
+    """
+    m = order // 2
+    matmul = 2.0 * n2 ** 3
+    matvec = 2.0 * n2 ** 2 * n_ic
+    tri = m * (m + 1) // 2
+    matmuls = 2 * tri + 2 * (2 * schulz_warm_iters + 1)
+    matvecs = 4 * tri + 6 + 4 * refine_sweeps
+    return matmuls * matmul + matvecs * matvec
+
 
 def measure():
     """Worker: compile + time the benchmark on the current backend; prints
@@ -120,10 +161,20 @@ def measure():
 
     # objective+gradient = forward sweep + adjoint sweep (+ accumulation)
     total_steps = 2 * NSTEPS * scenarios
+    # FLOP/MFU accounting (per TIMESTEP, not per counted fwd+adj step):
+    # warm-started Schulz budget = max(schulz_iters - 40, 8), f32 refine
+    # sweeps from the env-resolved default.
+    warm = max(prob.schulz_iters - 40, 8)
+    refine = int(os.environ.get("QGD_REFINE_SWEEPS_F32", "2"))
+    per_step = flops_model(ORDER, prob.real_system_size,
+                           prob.N_initial_conditions, warm, refine)
+    achieved = per_step * NSTEPS * scenarios / elapsed
     print(json.dumps({
         "_worker": True,
         "backend": backend,
         "steps_per_sec": total_steps / elapsed,
+        "model_tflops": round(achieved / 1e12, 2),
+        "mfu_vs_bf16_peak": round(achieved / V5E_BF16_PEAK_FLOPS, 4),
     }), flush=True)
 
 
@@ -212,12 +263,18 @@ def main():
             "value": 0.0, "unit": "timesteps/sec/chip", "vs_baseline": 0.0}))
         return
     sps = result["steps_per_sec"]
-    print(json.dumps({
+    rec = {
         "metric": "cnot3_hermite_steps_per_sec_fwd_adj" + suffix,
         "value": round(sps, 1),
         "unit": "timesteps/sec/chip",
         "vs_baseline": round(sps / BASELINE_STEPS_PER_SEC, 3),
-    }))
+    }
+    # FLOP model + MFU (flops_model docstring) — regression-visibility
+    # extras; absent on CPU-fallback results (the model is the TPU path's).
+    for k in ("model_tflops", "mfu_vs_bf16_peak"):
+        if k in result:
+            rec[k] = result[k]
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

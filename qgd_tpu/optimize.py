@@ -257,14 +257,17 @@ def optimize_gate(prob, controls, pcof_init, target, *, order: int = 4,
             pass
     elif method == "lbfgs":
         if max_dispatch_steps > 0:
-            # The chunked evaluator is a host loop (it fetches per-chunk
-            # scalars); jit-tracing it raises ConcretizationTypeError the
-            # moment the zoom linesearch probes value_fn. Keep it un-jitted.
-            def silent_value(pc):
-                return jnp.asarray(value_parts_and_grad(pc)[0])
-        else:
-            silent_value = jax.jit(
-                lambda pc: value_parts_and_grad(pc)[0])
+            # The chunked evaluator is a host loop of device dispatches
+            # (per-chunk scalar fetches); optax's zoom linesearch traces
+            # value_fn inside a lax.while_loop, so it cannot call it —
+            # jit or not, tracing raises ConcretizationTypeError mid-run.
+            raise ValueError(
+                "method='lbfgs' (on-device optax) cannot drive the "
+                "host-chunked evaluator (max_dispatch_steps > 0): the "
+                "zoom linesearch traces its value_fn. Use the default "
+                "method='lbfgsb' for chunked long-horizon runs.")
+        silent_value = jax.jit(
+            lambda pc: value_parts_and_grad(pc)[0])
         _optax_lbfgs_loop(eval_and_record, silent_value, pcof0, lower, upper,
                           maxIter, lbfgs_history)
     else:

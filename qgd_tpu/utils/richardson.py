@@ -142,7 +142,13 @@ def get_runtime_ratios(results, results_reference, target_error: float = 1e-7,
     — useful when the baseline's cost to actually *reach* the target is
     prohibitive (e.g. an order-2 method needs ~sqrt(err1/err2) more steps
     per decade); such ratios are asymptotic estimates, not measurements,
-    and callers should label them so."""
+    and callers should label them so.
+
+    Fault tolerance is per-order on OUR side: an order whose sweep does not
+    bracket (or, with ``extrapolate``, cannot extend to) the target maps to
+    ``None`` instead of poisoning every other order's ratio. A baseline
+    sweep that cannot reach the target still raises — there is no ratio
+    without a denominator."""
     def runtime_to_target(entry):
         errs, times = entry["rel_errs"], entry["elapsed"][1:]
         for i in range(1, len(errs)):
@@ -156,4 +162,10 @@ def get_runtime_ratios(results, results_reference, target_error: float = 1e-7,
 
     ref_key = next(iter(results_reference))
     ref_rt = runtime_to_target(results_reference[ref_key])
-    return {k: runtime_to_target(v) / ref_rt for k, v in results.items()}
+    out = {}
+    for k, v in results.items():
+        try:
+            out[k] = runtime_to_target(v) / ref_rt
+        except ValueError:
+            out[k] = None
+    return out

@@ -114,3 +114,47 @@ def test_chunked_single_chunk_is_segmented():
     assert np.isclose(float(j1_c), float(j1_s), rtol=1e-13, atol=1e-15)
     np.testing.assert_allclose(np.asarray(grad_c), np.asarray(grad_s),
                                rtol=5e-12, atol=1e-14)
+
+
+def test_optimize_gate_chunked_end_to_end(tmp_path):
+    """optimize_gate(max_dispatch_steps=...) — the user-facing long-horizon
+    route (optimize.py value_parts_and_grad chunked branch) — must walk the
+    same optimization trajectory as the plain path, and the saved setup must
+    carry the chunked routing into resume_optimization (a resume that
+    silently dropped max_dispatch_steps would re-enter the single-dispatch
+    >300 s watchdog configuration the flag exists to avoid)."""
+    prob, controls, pcof, tgt = _case(48)
+    kw = dict(order=2, maxIter=3, ridge_penalty_strength=1e-2,
+              print_level=0, max_cpu_time=600.0)
+    h_plain = qgd_tpu.optimize_gate(prob, controls, pcof, tgt, **kw)
+    base = str(tmp_path / "chunked_run")
+    h_chunk = qgd_tpu.optimize_gate(
+        prob, controls, pcof, tgt, n_segments=12, max_dispatch_steps=24,
+        filename=base, **kw)  # L=4, cap 24 -> 6 segments/chunk, 2 chunks
+    n = min(len(h_plain.obj_value), len(h_chunk.obj_value))
+    assert n >= 2
+    np.testing.assert_allclose(h_chunk.obj_value[:n], h_plain.obj_value[:n],
+                               rtol=1e-9)
+    np.testing.assert_allclose(h_chunk.infidelity[:n], h_plain.infidelity[:n],
+                               rtol=1e-8, atol=1e-14)
+
+    # the persisted setup must round-trip the routing flags (ADVICE r3)
+    from qgd_tpu.checkpoint import load_setup, resume_optimization
+    setup = load_setup(base)
+    assert setup["max_dispatch_steps"] == 24
+    assert setup["n_segments"] == 12
+    h_res = resume_optimization(base, maxIter=2, print_level=0)
+    assert len(h_res.obj_value) > n  # appended to the loaded history
+
+
+def test_optimize_gate_chunked_rejects_lbfgs_method():
+    """method='lbfgs' + max_dispatch_steps must fail fast with a clear
+    message (ADVICE r3): optax's zoom linesearch traces value_fn inside a
+    lax.while_loop, so the host chunk loop cannot serve it — without the
+    guard a long TPU run would die mid-optimization with
+    ConcretizationTypeError the first time the linesearch probes."""
+    prob, controls, pcof, tgt = _case(32)
+    with pytest.raises(ValueError, match="lbfgsb"):
+        qgd_tpu.optimize_gate(
+            prob, controls, pcof, tgt, order=2, maxIter=2, method="lbfgs",
+            n_segments=8, max_dispatch_steps=16, print_level=0)
