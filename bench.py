@@ -116,7 +116,13 @@ def measure():
     from qgd_tpu.adjoint import objective_and_gradient
 
     backend = jax.default_backend()
-    scenarios = SCENARIOS if backend in ("tpu", "axon") else 1
+    # Sweep knobs (VERDICT r3 #7): scenario batch and Newton-Schulz
+    # iteration budget, overridable per worker run so the chosen defaults
+    # are justified by measurement (tools/probes/bench_sweep.sh).
+    scenarios = int(os.environ.get("QGD_BENCH_SCENARIOS", str(SCENARIOS)))
+    if backend not in ("tpu", "axon"):
+        scenarios = 1
+    schulz_iters = int(os.environ.get("QGD_BENCH_SCHULZ_ITERS", "56"))
 
     prob = qgd_tpu.models.cnot3_problem(nsteps=NSTEPS)
     if backend in ("tpu", "axon"):
@@ -126,6 +132,7 @@ def measure():
         # f32 propagation (f64 objective reduction), and tell the hoisting
         # cap about the scenario batch.
         prob = dataclasses.replace(prob, solver="schulz", dtype=WORK_DTYPE,
+                                   schulz_iters=schulz_iters,
                                    hoist_batch_hint=scenarios)
     controls = tuple(qgd_tpu.BSpline2Control(10, float(prob.tf))
                      for _ in range(3))
@@ -169,13 +176,23 @@ def measure():
     per_step = flops_model(ORDER, prob.real_system_size,
                            prob.N_initial_conditions, warm, refine)
     achieved = per_step * NSTEPS * scenarios / elapsed
-    print(json.dumps({
+    rec = {
         "_worker": True,
         "backend": backend,
+        "scenarios": scenarios,
+        "schulz_iters": prob.schulz_iters,
         "steps_per_sec": total_steps / elapsed,
         "model_tflops": round(achieved / 1e12, 2),
         "mfu_vs_bf16_peak": round(achieved / V5E_BF16_PEAK_FLOPS, 4),
-    }), flush=True)
+    }
+    if backend in ("tpu", "axon"):
+        # the residual guard that justifies the Schulz budget: solve
+        # quality at the benchmarked iteration count (state-aware probes)
+        from qgd_tpu.diagnostics import stage_residuals
+
+        rec["stage_residual_max"] = stage_residuals(
+            prob, controls, np.asarray(pcofs[0]), ORDER)["max"]
+    print(json.dumps(rec), flush=True)
 
 
 def _log_debug(msg):

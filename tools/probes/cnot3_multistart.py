@@ -1,13 +1,20 @@
 #!/usr/bin/env python
-"""TPU multistart basin scan for CNOT3 (round-3 diagnosis): S random seeds
-optimized in lockstep on one chip (optimize_gate_multistart, the TPU-native
-replacement of the reference's SLURM array scale-out). Tests whether the
-guarded objective's infid~1.2e-2 equilibrium is the global basin or a
-seed-1 artifact.
+"""TPU multistart flagship for CNOT3 (VERDICT r3 missing #4 / next #5): S
+random seeds optimized in lockstep on one chip (optimize_gate_multistart,
+the TPU-native replacement of the reference's SLURM array scale-out,
+examples/cnot3_optimize_gate.sb:13,28-41). Tests whether the guarded
+objective's infid~1.2e-2 equilibrium is the global basin or a seed
+artifact, and converts batched throughput into an optimization record.
 
-Usage: python tools/probes/cnot3_multistart.py [S] [nsteps] [maxIter]
+Ladder usage (the flagship protocol):
+  stage 1:  python cnot3_multistart.py --name ms1 -S 24 --nsteps 3072
+  stage 2:  python cnot3_multistart.py --name ms2 -S 4 --nsteps 30720 \
+                --from-npz results/diag/cnot3_ms1.npz --top 4
+(stage 2 re-optimizes the best stage-1 starts at the flagship resolution;
+starts that reach stop_objective freeze.)
 """
 
+import argparse
 import json
 import os
 import sys
@@ -23,9 +30,19 @@ import jax.numpy as jnp
 
 import qgd_tpu
 
-S = int(sys.argv[1]) if len(sys.argv) > 1 else 24
-nsteps = int(sys.argv[2]) if len(sys.argv) > 2 else 3072
-max_iter = int(sys.argv[3]) if len(sys.argv) > 3 else 300
+ap = argparse.ArgumentParser()
+ap.add_argument("--name", default="multistart")
+ap.add_argument("-S", type=int, default=24)
+ap.add_argument("--nsteps", type=int, default=3072)
+ap.add_argument("--max-iter", type=int, default=300)
+ap.add_argument("--bound", type=float, default=0.02)
+ap.add_argument("--from-npz", default=None,
+                help="seed pcofs from a previous run's best starts")
+ap.add_argument("--top", type=int, default=4)
+ap.add_argument("--seed", type=int, default=100)
+args = ap.parse_args()
+
+S, nsteps, max_iter = args.S, args.nsteps, args.max_iter
 
 prob = qgd_tpu.models.cnot3_problem(tf=550.0, nsteps=nsteps)
 prob = dataclasses.replace(prob, solver="schulz", dtype="float32",
@@ -34,28 +51,41 @@ controls = tuple(qgd_tpu.CarrierControl(qgd_tpu.BSpline2Control(10, 550.0), f)
                  for f in qgd_tpu.models.cnot3_carrier_frequencies())
 tgt = qgd_tpu.models.cnot3_target()
 n = sum(c.N_coeff for c in controls)
-rng = np.random.default_rng(100)
-pcofs0 = jnp.asarray(rng.uniform(-0.002, 0.002, (S, n)))
+
+if args.from_npz:
+    d = np.load(args.from_npz)
+    order_idx = np.argsort(d["objs"][-1])[:args.top]
+    pcofs0 = jnp.asarray(d["pcofs"][order_idx])
+    S = pcofs0.shape[0]
+    print(f"seeded from {args.from_npz} top-{S} "
+          f"(objs {d['objs'][-1][order_idx]})", flush=True)
+else:
+    rng = np.random.default_rng(args.seed)
+    pcofs0 = jnp.asarray(rng.uniform(-args.bound / 10, args.bound / 10,
+                                     (S, n)))
 
 print(f"backend={jax.default_backend()} S={S} nsteps={nsteps} "
       f"maxIter={max_iter}", flush=True)
 t0 = time.time()
 pcofs, objs = qgd_tpu.optimize_gate_multistart(
-    prob, controls, pcofs0, tgt, order=4, pcof_L=-0.02, pcof_U=0.02,
-    maxIter=max_iter, ridge_penalty_strength=1e-2, print_level=5)
+    prob, controls, pcofs0, tgt, order=4, pcof_L=-args.bound,
+    pcof_U=args.bound, maxIter=max_iter, ridge_penalty_strength=1e-2,
+    print_level=5)
 wall = time.time() - t0
 
 final = objs[-1]
 best = int(np.argmin(final))
 out = os.path.join(os.path.dirname(__file__), "..", "..", "results", "diag",
-                   "cnot3_multistart")
+                   f"cnot3_{args.name}")
 np.savez(out + ".npz", pcofs=np.asarray(pcofs), objs=objs,
          pcofs0=np.asarray(pcofs0))
-rec = {"S": S, "nsteps": nsteps, "maxIter": max_iter,
-       "wall_s": round(wall, 1),
+rec = {"name": args.name, "S": int(S), "nsteps": nsteps,
+       "maxIter": max_iter, "wall_s": round(wall, 1),
+       "iters_run": int(objs.shape[0]),
        "best_obj": float(final[best]), "best_seed_idx": best,
        "obj_min": float(final.min()), "obj_median": float(np.median(final)),
-       "obj_max": float(final.max())}
+       "obj_max": float(final.max()),
+       "finals_sorted": sorted(round(float(v), 6) for v in final)}
 print("MULTISTART_RESULT " + json.dumps(rec), flush=True)
 with open(out + ".summary.json", "w") as f:
     json.dump(rec, f, indent=1)
