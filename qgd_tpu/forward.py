@@ -112,14 +112,22 @@ def _stage_matrices(prob, m, dt, P, Q, sign: float):
     parallel, state-independent precompute (MXU-saturating batched matmuls),
     hoisted out of the sequential scan.
 
-    ``QGD_PALLAS=1`` (read at trace time) routes the f32 build through the
+    ``QGD_PALLAS`` (read at trace time) routes the f32 build through the
     fused Pallas kernel (ops/pallas_step.py): the recursion + weighted sum
     for one time point runs entirely in VMEM instead of as ~m(m+3)/2
-    separate XLA ops. Interpret mode off-TPU, so the wired path is testable
-    on CPU."""
+    separate XLA ops. Default ON for the TPU backend since round 4's
+    on-chip measurement (2026-08-20, results/diag/pallas_routes_r4.log):
+    segmented flagship eval 15.0 -> 14.1 s (-6%), bench throughput
+    53,366 -> 53,867 steps/s (+0.9%), gradients identical to 1e-7.
+    Default OFF elsewhere (interpret mode is for tests, not speed);
+    QGD_PALLAS=0/1 overrides either way."""
     eye = jnp.eye(prob.real_system_size, dtype=prob.system_sym.dtype)
 
-    if (_os.environ.get("QGD_PALLAS", "0") == "1"
+    try:
+        _on_tpu = jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        _on_tpu = False
+    if (_os.environ.get("QGD_PALLAS", "1" if _on_tpu else "0") == "1"
             and prob.system_sym.dtype == jnp.float32):
         from .ops.pallas_step import hermite_lhs_matrix_kernel_call
 

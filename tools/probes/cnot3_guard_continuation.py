@@ -40,7 +40,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.abspath(os.path.join(HERE, "..", ".."))
 DIAG = os.path.join(REPO, "results", "diag")
-RAMP = (0.03, 0.1, 0.3, 1.0)
+RAMP = (0.1, 0.3, 1.0)
 
 
 def traj():
@@ -85,8 +85,8 @@ def ramp():
         name = f"gramp{str(g).replace('.', 'p')}"
         cmd = [sys.executable, "-u", os.path.join(HERE, "cnot3_probe.py"),
                name, "--guard-scale", str(g), "--rotate-target",
-               "--start", f"file={start}", "--max-iter", "300",
-               "--max-cpu-time", "2700"]
+               "--start", f"file={start}", "--max-iter", "250",
+               "--max-cpu-time", "2400"]
         print("RUN", " ".join(cmd), flush=True)
         r = subprocess.run(cmd, cwd=REPO)
         if r.returncode:
