@@ -58,7 +58,16 @@ ORDER = 4
 #       full-precision refinement polish                  : 24,425
 #     + hoisted inverses warm-started from the drift-only
 #       inverse (16 iters instead of the 56-iter ramp)    : 51,442 (52.1x)
+#   2026-08-20 (round-4 sweep, tools/probes/bench_sweep.sh; stage
+#   residual FLAT at 8.1e-8 across all three budgets — the refinement
+#   sweeps set solve quality, so the smallest warm budget is free):
+#     warm 16 (schulz_iters 56) : 53,273
+#     warm 12 (schulz_iters 52) : 61,041
+#     warm  8 (schulz_iters 48) : 69,911 (70.8x)  <- production config
+#     scenarios=64: does not compile (12.6 GB hoisted stage tensors vs
+#     16 GB HBM) — S=32 is the chip's batch ceiling for this program.
 SCENARIOS = 32
+SCHULZ_ITERS = 48
 WORK_DTYPE = "float32"
 TPU_DEADLINE_S = 1500
 
@@ -122,7 +131,8 @@ def measure():
     scenarios = int(os.environ.get("QGD_BENCH_SCENARIOS", str(SCENARIOS)))
     if backend not in ("tpu", "axon"):
         scenarios = 1
-    schulz_iters = int(os.environ.get("QGD_BENCH_SCHULZ_ITERS", "56"))
+    schulz_iters = int(os.environ.get("QGD_BENCH_SCHULZ_ITERS",
+                                      str(SCHULZ_ITERS)))
 
     prob = qgd_tpu.models.cnot3_problem(nsteps=NSTEPS)
     if backend in ("tpu", "axon"):
