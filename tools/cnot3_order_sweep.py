@@ -4,25 +4,28 @@
 4-10 at coarse dt), measured as forward time-to-error plus one gradient
 timing per config (VERDICT r3 missing #5 / next #6).
 
-All error-measuring runs are f64 (f32 floors at ~2e-5 model error, far
-above the high-order configs' discretization error) with the Newton-Schulz
-stage solver (TPU has no f64 LU). Error = relative final-state deviation
-from an order-10 nsteps=4096 f64 truth (its own discretization error is
-~1e-13-class, orders below every sweep point).
+Runs CPU f64 — the same footing as the reference's own sweep (a
+single-core CPU SLURM array) and as the runtime-ratio artifact
+(tools/juqbox_ratio.py). f64 on the axon TPU is x64-split emulated and
+hoisting a whole order-10 stage-matrix segment OOMs HBM (measured:
+3 x 5 GB temps at L=4096, results/diag/order_sweep_r4.log); the f32
+production-mode TPU timings for these program shapes are recorded
+separately (85 s forward for the 5.5M-step config, chunked —
+results/diag/longhorizon_chunked_f32_5500000.log; BENCH for throughput).
 
-Long horizons run as host-chunked dispatches (CLAUDE.md rule 8: the axon
-TPU kills any single execution past ~300 s): forward via chunked._fwd_chunk
-chunks, gradient via chunked_objective_and_gradient. Every timed phase ends
-with a scalar fetch (block_until_ready is a no-op on axon).
+Error = relative final-state deviation from an order-10 nsteps=4096 f64
+truth (its own discretization error is ~1e-13-class, orders below every
+sweep point). Memory stays bounded via eval_forward(save_every=K): the
+nested scan hoists stage matrices per K-step segment only.
 
 Writes results/cnot3_order_sweep.json.
 
-Usage: python -u tools/cnot3_order_sweep.py [--quick]
+Usage: PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+           python -u tools/cnot3_order_sweep.py [--quick]
 """
 
 import argparse
 import json
-import math
 import os
 import sys
 import time
@@ -30,15 +33,19 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 # (order, nsteps, gradient?) — dt = 550/nsteps; nsteps rounded to
-# divisor-rich values within <1% of the reference's stepsizes so the
-# chunk arithmetic divides evenly.
+# divisor-rich values within <1% of the reference's stepsizes. The
+# reference's o2 dt=1e-4 point (5.5M steps) is NOT run here: a CPU f64
+# forward costs ~2 h (measured 73.5 s at 55k -> ~7350 s at 5.5M); its
+# row is synthesized from the o2 O(h^2) slope measured at 55k/220k
+# (labeled extrapolated) plus the MEASURED on-chip f32 walls
+# (results/diag/longhorizon_chunked_f32_5500000.log).
 CONFIGS = [
     (2, 55_000, True),        # dt 1e-2 (reference o2 coarse)
-    (2, 5_500_000, False),    # dt 1e-4 (reference o2 fine; fwd-only — the
-                              #   gradient at this point is the round-3
-                              #   26.2-min chunked record, f32)
+    (2, 220_000, False),      # dt 2.5e-3 (o2 slope anchor)
     (4, 30_720, True),        # dt ~1.8e-2 (flagship nsteps)
-    (4, 307_200, True),       # dt ~1.8e-3
+    (4, 307_200, False),      # dt ~1.8e-3 (fwd-only: CPU f64 gradient
+                              #   here is ~1 h; grad cost scales as the
+                              #   55k row's measured grad/fwd ratio)
     (6, 982, True),           # dt ~5.6e-1
     (6, 5_500, True),         # dt 1e-1
     (8, 550, True),           # dt 1e0
@@ -46,8 +53,6 @@ CONFIGS = [
     (10, 423, True),          # dt ~1.3
     (10, 982, True),          # dt ~5.6e-1
 ]
-FWD_DISPATCH_CAP = 25_000     # steps per forward device execution (f64)
-GRAD_DISPATCH_CAP = 12_500    # steps per gradient device execution (f64)
 
 
 def build(nsteps):
@@ -67,37 +72,30 @@ def build(nsteps):
     return prob, controls, pcof
 
 
-def forward_final(prob, controls, pcof, order, cap):
-    """Final state, host-chunked so no dispatch exceeds ``cap`` steps.
-    Returns (w_final ndarray, wall_seconds, n_dispatches)."""
-    import numpy as np
-    import jax.numpy as jnp
-    from qgd_tpu.forward import eval_forward
-    from qgd_tpu.problem import working_problem
-    from qgd_tpu.chunked import _fwd_chunk
+def _save_every(T):
+    """Largest divisor of T <= 1100 — bounds the per-segment stage-matrix
+    hoist of the thinned forward at ~400 MB f64."""
+    if T <= 2000:
+        return 1
+    return max(d for d in range(1, 1101) if T % d == 0)
 
-    T = prob.nsteps
-    if T <= cap:
-        t0 = time.perf_counter()
-        hist = eval_forward(prob, controls, pcof, order, save_every=T)
-        w = np.asarray(hist[-1])             # fetch = sync
-        return w, time.perf_counter() - t0, 1
-    # chunk length: largest divisor of T that is <= cap
-    L = max(d for d in range(1, cap + 1) if T % d == 0)
-    C = T // L
-    dt = prob.tf / T
-    tau = np.ones(T, dtype=np.float64)
-    tau[0] = 0.5
-    w = working_problem(prob).w0
+
+def forward_final(prob, controls, pcof, order):
+    """(w_final ndarray, wall_seconds) — jit-warm timing (second call) for
+    affordable sizes; single timed call (compile included, negligible at
+    these horizons) past 100k steps."""
+    import numpy as np
+    import jax
+    from qgd_tpu.forward import eval_forward
+
+    k = _save_every(prob.nsteps)
+    if prob.nsteps <= 100_000:
+        hist = eval_forward(prob, controls, pcof, order, save_every=k)
+        jax.block_until_ready(hist)      # warm: compile + run
     t0 = time.perf_counter()
-    for k in range(C):
-        a, b = k * L, (k + 1) * L
-        ts_chunk = jnp.arange(a, b + 1, dtype=jnp.float64) * dt
-        w, _snaps, gp = _fwd_chunk(prob, controls, pcof, w, ts_chunk,
-                                   jnp.asarray(tau[a:b]), order, 1, L)
-        float(gp)                            # fetch paces the watchdog
-    w = np.asarray(w)
-    return w, time.perf_counter() - t0, C
+    hist = eval_forward(prob, controls, pcof, order, save_every=k)
+    w = np.asarray(hist[-1])
+    return w, time.perf_counter() - t0
 
 
 def main():
@@ -111,54 +109,68 @@ def main():
     import jax
 
     print(f"backend={jax.default_backend()}", flush=True)
-    from qgd_tpu.chunked import chunked_objective_and_gradient
+    import qgd_tpu
+    from qgd_tpu.segmented import segmented_objective_and_gradient
 
-    # truth: order-10 f64 at nsteps=4096 (discretization error ~1e-13)
     tprob, controls, pcof = build(4096)
-    truth, t_truth, _ = forward_final(tprob, controls, pcof, 10,
-                                      FWD_DISPATCH_CAP)
+    truth, t_truth = forward_final(tprob, controls, pcof, 10)
     tnorm = float(np.linalg.norm(truth))
     print(f"truth (o10 n4096 f64): {t_truth:.1f} s norm={tnorm:.6f}",
           flush=True)
+    tgt = qgd_tpu.models.cnot3_target()
 
     rows = []
     for order, nsteps, do_grad in CONFIGS:
         if args.quick and nsteps > 1_000_000:
             continue
         prob, controls, pcof = build(nsteps)
-        # warm the compile caches with an identical-shape run, so the
-        # recorded wall is execution, not XLA compilation (the reference's
-        # @elapsed has no compile phase)
-        forward_final(prob, controls, pcof, order, FWD_DISPATCH_CAP)
-        w, wall, ndisp = forward_final(prob, controls, pcof, order,
-                                       FWD_DISPATCH_CAP)
+        w, wall = forward_final(prob, controls, pcof, order)
         err = float(np.linalg.norm(w - truth)) / tnorm
         row = {"order": order, "nsteps": nsteps,
                "dt": 550.0 / nsteps, "fwd_wall_s": round(wall, 3),
-               "fwd_dispatches": ndisp, "rel_err": err}
+               "rel_err": err}
         if do_grad:
-            import qgd_tpu
-
-            tgt = qgd_tpu.models.cnot3_target()
-            cap = min(GRAD_DISPATCH_CAP, nsteps)
-            # warm: all chunk programs compile on the first evaluation
-            chunked_objective_and_gradient(prob, controls, pcof, tgt,
-                                           order, max_dispatch_steps=cap)
+            # O(sqrt T)-memory segmented gradient, jit-warm timing
+            segmented_objective_and_gradient(prob, controls, pcof, tgt,
+                                             order)
             t0 = time.perf_counter()
-            (j1, guard, _), grad = chunked_objective_and_gradient(
-                prob, controls, pcof, tgt, order, max_dispatch_steps=cap)
-            gn = float(np.linalg.norm(grad))
+            (j1, guard, _), grad = segmented_objective_and_gradient(
+                prob, controls, pcof, tgt, order)
+            gn = float(np.linalg.norm(np.asarray(grad)))
             row["grad_wall_s"] = round(time.perf_counter() - t0, 3)
             row["gradnorm"] = gn
             row["infidelity"] = float(j1)
         rows.append(row)
         print("SWEEP_ROW " + json.dumps(row), flush=True)
 
+    # synthesized o2 dt=1e-4 row: error from the measured o2 O(h^2) slope,
+    # walls from the round-3 on-chip f32 chunked record (measured).
+    o2 = [r for r in rows if r["order"] == 2]
+    extrap_row = None
+    if len(o2) >= 2:
+        import math
+
+        p = (math.log(o2[0]["rel_err"] / o2[1]["rel_err"])
+             / math.log(o2[1]["nsteps"] / o2[0]["nsteps"]))
+        err_55e6 = o2[-1]["rel_err"] * (o2[-1]["nsteps"] / 5_500_000) ** p
+        extrap_row = {
+            "order": 2, "nsteps": 5_500_000, "dt": 1e-4,
+            "rel_err_extrapolated": err_55e6,
+            "slope_measured": round(p, 3),
+            "fwd_wall_s_tpu_f32_measured": 85.0,
+            "grad_wall_s_tpu_f32_measured": 1573.0,
+            "source": "results/diag/longhorizon_chunked_f32_5500000.log "
+                      "(round-3 chunked on-chip record); error from the "
+                      "o2 slope above, NOT measured",
+        }
+        print("SWEEP_ROW(extrap) " + json.dumps(extrap_row), flush=True)
+
     rec = {"truth": "order 10, nsteps=4096, f64 (schulz)",
            "pcof_source": "results/cnot3_r3_flagship.npz (optimized)",
-           "note": "f64 error-resolving sweep; production f32 runs the "
-                   "same programs ~8x faster (see BENCH/FLAGSHIP)",
-           "rows": rows}
+           "machine": "CPU f64 (the reference's own sweep footing); "
+                      "TPU f32 production timings for the same shapes: "
+                      "results/diag/longhorizon_chunked_*.log, BENCH_r04",
+           "rows": rows, "o2_dt1e-4_reference_point": extrap_row}
     with open(os.path.join(os.path.dirname(__file__), "..", args.out),
               "w") as f:
         json.dump(rec, f, indent=1)

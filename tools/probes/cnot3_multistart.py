@@ -22,6 +22,14 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
+# Hoisted stage builds are mandatory here: the in-scan fallback makes one
+# vmapped L-BFGS dispatch (gradient + zoom linesearch over S scenarios)
+# exceed the axon ~300 s watchdog and CRASHES THE TPU WORKER (measured
+# 2026-08-20, S=24 x nsteps=3072 with the default 1.5 GB cap;
+# results/diag/multistart_r4.log). Keep S * nsteps small enough that
+# 3*nsteps*(2N)^2*4B*S fits this cap (16 GB HBM): S=16 x 1024 -> 3.2 GB.
+os.environ.setdefault("QGD_HOIST_CAP_BYTES", "9000000000")
+
 import dataclasses
 
 import numpy as np
@@ -32,8 +40,8 @@ import qgd_tpu
 
 ap = argparse.ArgumentParser()
 ap.add_argument("--name", default="multistart")
-ap.add_argument("-S", type=int, default=24)
-ap.add_argument("--nsteps", type=int, default=3072)
+ap.add_argument("-S", type=int, default=16)
+ap.add_argument("--nsteps", type=int, default=1024)
 ap.add_argument("--max-iter", type=int, default=300)
 ap.add_argument("--bound", type=float, default=0.02)
 ap.add_argument("--from-npz", default=None,
