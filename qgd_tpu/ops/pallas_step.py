@@ -113,14 +113,43 @@ def _lhs_kernel(m, a_ref, wts_ref, out_ref):
     out_ref[0] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("m", "interpret"))
+def _lhs_matrix_xla(A_stack, dt, m: int):
+    """The kernel's mathematical definition in plain XLA ops (f32):
+    per batch element, ``sum_j (-dt)^j c_j D_j`` from the identity Leibniz
+    recursion. Used as the differentiation rule for the kernel — Pallas
+    kernels have no built-in AD, and callers like optax's zoom linesearch
+    DO differentiate through ``eval_forward`` (measured: 'Linearization
+    failed to produce known values for all output primals' from the
+    multistart driver the day the kernel became the TPU default)."""
+    from .hermite import scaled_derivatives, build_lhs
+
+    n = A_stack.shape[-1]
+    eye = jnp.eye(n, dtype=jnp.float32)
+
+    def one(A):
+        D = scaled_derivatives(A.astype(jnp.float32), eye, m)
+        return build_lhs(D, jnp.asarray(dt, jnp.float32), m)
+
+    return jax.vmap(one)(A_stack)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def hermite_lhs_matrix_kernel_call(A_stack, dt, m: int,
                                    interpret: bool = False):
     """Fused implicit-stage matrix materialization.
 
     ``A_stack (B, m, n, n)``, scalar ``dt`` -> ``(B, n, n)`` LHS matrices
     (``sum_j (-dt)^j c_j D_j``).
+
+    Differentiable: the primal runs the fused kernel; the VJP runs the
+    XLA-path equivalent (``_lhs_matrix_xla``) under ``jax.vjp`` — exact
+    for the same arithmetic, and AD never has to look inside Mosaic.
     """
+    return _lhs_kernel_call_impl(A_stack, dt, m, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "interpret"))
+def _lhs_kernel_call_impl(A_stack, dt, m: int, interpret: bool = False):
     B, _, n, _ = A_stack.shape
     kernel = functools.partial(_lhs_kernel, m)
     # x64 off during the trace — see hermite_rhs_kernel_call.
@@ -136,3 +165,18 @@ def hermite_lhs_matrix_kernel_call(A_stack, dt, m: int,
             out_shape=jax.ShapeDtypeStruct((B, n, n), jnp.float32),
             interpret=interpret,
         )(A_stack.astype(jnp.float32), _step_weights(dt, m, -1.0))
+
+
+def _lhs_kernel_call_fwd(A_stack, dt, m, interpret):
+    return _lhs_kernel_call_impl(A_stack, dt, m, interpret), (A_stack, dt)
+
+
+def _lhs_kernel_call_bwd(m, interpret, res, g):
+    A_stack, dt = res
+    _, vjp = jax.vjp(lambda a, d: _lhs_matrix_xla(a, d, m), A_stack, dt)
+    dA, ddt = vjp(g.astype(jnp.float32))
+    return dA.astype(A_stack.dtype), ddt.astype(jnp.result_type(dt))
+
+
+hermite_lhs_matrix_kernel_call.defvjp(_lhs_kernel_call_fwd,
+                                      _lhs_kernel_call_bwd)

@@ -76,3 +76,37 @@ def test_wired_stage_matrices_pallas_path(monkeypatch):
         monkeypatch.setenv("QGD_PALLAS", "1")
         fused = np.asarray(_stage_matrices(wprob, m, dt32, P, Q, sign))
         np.testing.assert_allclose(fused, ref, rtol=2e-6, atol=2e-7)
+
+
+def test_lhs_kernel_is_differentiable():
+    """The kernel has a custom VJP (XLA-path equivalent): callers like
+    optax's zoom linesearch differentiate through eval_forward, which
+    crosses the kernel when QGD_PALLAS is on (the TPU default). Without
+    the rule that fails with 'Linearization failed to produce known
+    values for all output primals' (measured, multistart driver)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from qgd_tpu.ops.pallas_step import (hermite_lhs_matrix_kernel_call,
+                                         _lhs_matrix_xla)
+
+    rng = np.random.default_rng(5)
+    m, n, B = 2, 8, 3
+    A = jnp.asarray(rng.standard_normal((B, m, n, n)) * 0.1,
+                    dtype=jnp.float32)
+    dt = 0.37
+
+    def f_kernel(a):
+        return jnp.sum(hermite_lhs_matrix_kernel_call(a, dt, m,
+                                                      interpret=True) ** 2)
+
+    def f_xla(a):
+        return jnp.sum(_lhs_matrix_xla(a, dt, m) ** 2)
+
+    # primal parity (kernel == definition)
+    np.testing.assert_allclose(float(f_kernel(A)), float(f_xla(A)),
+                               rtol=1e-6)
+    g_k = jax.grad(f_kernel)(A)
+    g_x = jax.grad(f_xla)(A)
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_x),
+                               rtol=1e-5, atol=1e-7)
