@@ -17,9 +17,26 @@ for the step) via the Pallas grid. All operands for one grid cell fit in
 VMEM with room to spare (m * 2N * 2N f32 at 2N=128 is ~128 KB per
 derivative level).
 
+The dt-dependence enters by PRE-SCALING the operand stack, not via a
+scalar operand: with ``A_k -> s^(k+1) A_k`` the recursion gives
+``D_j -> s^j D_j``, so the kernel only needs the CONSTANT Hermite
+coefficients ``c_j`` (baked in as Python floats). An earlier version
+passed ``c_j s^j`` through SMEM; under a vmapped optax linesearch the
+batching rule rebuilt that BlockSpec without its memory space and Mosaic
+rejected the (S, m+1) block ("last two dimensions ... divisible by 8 and
+128") — measured 2026-08-21, multistart driver. No scalar operands, no
+such failure mode.
+
 f32 only: the MXU has no f64; the f64 path uses the XLA implementation in
 qgd_tpu/ops/hermite.py. Correctness is locked by interpret-mode tests
 (tests/test_pallas.py) against that implementation.
+
+AD: ``hermite_lhs_matrix_kernel_call`` carries a ``jax.custom_vjp`` whose
+backward pass runs ``jax.vjp`` over the XLA-path equivalent
+(:func:`_lhs_matrix_xla`) — Pallas kernels have no AD rules, and callers
+like optax's zoom linesearch DO differentiate through ``eval_forward``
+('Linearization failed to produce known values for all output primals',
+measured the day the kernel became the TPU default).
 """
 
 from __future__ import annotations
@@ -29,25 +46,23 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from .hermite import hermite_coefficients
 
 
-def _step_weights(dt, m, sign: float):
-    """``(m+1,)`` f32 array of ``(sign*dt)^j c_j`` — the dt-dependent
-    accumulation weights, computed outside the kernel and passed through
-    SMEM (Mosaic forbids direct loads from ANY-space refs; scalars and tiny
-    vectors belong in SMEM)."""
-    coeffs = jnp.asarray(hermite_coefficients(m), dtype=jnp.float32)
-    d = jnp.asarray(sign, jnp.float32) * jnp.asarray(dt, jnp.float32)
-    return coeffs * d ** jnp.arange(m + 1, dtype=jnp.float32)
+def _scaled_stack(A_stack, dt, m: int, sign: float):
+    """``A_k -> (sign*dt)^(k+1) A_k`` (k = stack index, f32): folds the
+    step weights into the operands so the kernel's accumulation
+    coefficients are compile-time constants."""
+    s = (jnp.asarray(sign, jnp.float32) * jnp.asarray(dt, jnp.float32))
+    scales = s ** jnp.arange(1, m + 1, dtype=jnp.float32)
+    return A_stack.astype(jnp.float32) * scales[..., :, None, None]
 
 
-def _rhs_kernel(m, a_ref, w_ref, wts_ref, out_ref):
-    """One grid cell: A_stack (m, n, n), W (n, b) -> RHS (n, b)."""
+def _rhs_kernel(m, coeffs, a_ref, w_ref, out_ref):
+    """One grid cell: scaled A_stack (m, n, n), W (n, b) -> RHS (n, b)."""
     Ws = [w_ref[0]]
-    acc = wts_ref[0] * Ws[0]
+    acc = coeffs[0] * Ws[0]
     for j in range(m):
         s = jnp.dot(a_ref[0, j], Ws[0], preferred_element_type=jnp.float32)
         for i in range(1, j + 1):
@@ -55,7 +70,7 @@ def _rhs_kernel(m, a_ref, w_ref, wts_ref, out_ref):
                             preferred_element_type=jnp.float32)
         w_next = s / float(j + 1)
         Ws.append(w_next)
-        acc = acc + wts_ref[j + 1] * w_next
+        acc = acc + coeffs[j + 1] * w_next
     out_ref[0] = acc
 
 
@@ -68,7 +83,8 @@ def hermite_rhs_kernel_call(A_stack, W, dt, m: int, interpret: bool = False):
     """
     B, _, n, _ = A_stack.shape
     b = W.shape[-1]
-    kernel = functools.partial(_rhs_kernel, m)
+    coeffs = tuple(float(c) for c in hermite_coefficients(m))
+    kernel = functools.partial(_rhs_kernel, m, coeffs)
     # Trace the pallas_call with x64 OFF: under jax_enable_x64 the
     # BlockSpec index maps lower their constant indices to i64 and Mosaic
     # fails server-side with "failed to legalize operation 'func.return'"
@@ -81,17 +97,15 @@ def hermite_rhs_kernel_call(A_stack, W, dt, m: int, interpret: bool = False):
             in_specs=[
                 pl.BlockSpec((1, m, n, n), lambda i: (i, 0, 0, 0)),
                 pl.BlockSpec((1, n, b), lambda i: (i, 0, 0)),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
             out_specs=pl.BlockSpec((1, n, b), lambda i: (i, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((B, n, b), jnp.float32),
             interpret=interpret,
-        )(A_stack.astype(jnp.float32), W.astype(jnp.float32),
-          _step_weights(dt, m, 1.0))
+        )(_scaled_stack(A_stack, dt, m, 1.0), W.astype(jnp.float32))
 
 
-def _lhs_kernel(m, a_ref, wts_ref, out_ref):
-    """One grid cell: A_stack (m, n, n) -> LHS matrix (n, n)."""
+def _lhs_kernel(m, coeffs, a_ref, out_ref):
+    """One grid cell: scaled A_stack (m, n, n) -> LHS matrix (n, n)."""
     n = out_ref.shape[-1]
     # NOT jnp.eye: under jax_enable_x64 it lowers to int64 iota/cmpi, and
     # Mosaic's vector layout only supports bitwidths <= 32 — the server-side
@@ -101,7 +115,7 @@ def _lhs_kernel(m, a_ref, wts_ref, out_ref):
            == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
            ).astype(jnp.float32)
     Ds = [eye]
-    acc = wts_ref[0] * eye
+    acc = coeffs[0] * eye
     for j in range(m):
         s = jnp.dot(a_ref[0, j], Ds[0], preferred_element_type=jnp.float32)
         for i in range(1, j + 1):
@@ -109,18 +123,14 @@ def _lhs_kernel(m, a_ref, wts_ref, out_ref):
                             preferred_element_type=jnp.float32)
         d_next = s / float(j + 1)
         Ds.append(d_next)
-        acc = acc + wts_ref[j + 1] * d_next
+        acc = acc + coeffs[j + 1] * d_next
     out_ref[0] = acc
 
 
 def _lhs_matrix_xla(A_stack, dt, m: int):
     """The kernel's mathematical definition in plain XLA ops (f32):
     per batch element, ``sum_j (-dt)^j c_j D_j`` from the identity Leibniz
-    recursion. Used as the differentiation rule for the kernel — Pallas
-    kernels have no built-in AD, and callers like optax's zoom linesearch
-    DO differentiate through ``eval_forward`` (measured: 'Linearization
-    failed to produce known values for all output primals' from the
-    multistart driver the day the kernel became the TPU default)."""
+    recursion. Serves as the kernel's differentiation rule."""
     from .hermite import scaled_derivatives, build_lhs
 
     n = A_stack.shape[-1]
@@ -151,7 +161,8 @@ def hermite_lhs_matrix_kernel_call(A_stack, dt, m: int,
 @functools.partial(jax.jit, static_argnames=("m", "interpret"))
 def _lhs_kernel_call_impl(A_stack, dt, m: int, interpret: bool = False):
     B, _, n, _ = A_stack.shape
-    kernel = functools.partial(_lhs_kernel, m)
+    coeffs = tuple(float(c) for c in hermite_coefficients(m))
+    kernel = functools.partial(_lhs_kernel, m, coeffs)
     # x64 off during the trace — see hermite_rhs_kernel_call.
     with jax.enable_x64(False):
         return pl.pallas_call(
@@ -159,12 +170,11 @@ def _lhs_kernel_call_impl(A_stack, dt, m: int, interpret: bool = False):
             grid=(B,),
             in_specs=[
                 pl.BlockSpec((1, m, n, n), lambda i: (i, 0, 0, 0)),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
             out_specs=pl.BlockSpec((1, n, n), lambda i: (i, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((B, n, n), jnp.float32),
             interpret=interpret,
-        )(A_stack.astype(jnp.float32), _step_weights(dt, m, -1.0))
+        )(_scaled_stack(A_stack, dt, m, -1.0))
 
 
 def _lhs_kernel_call_fwd(A_stack, dt, m, interpret):

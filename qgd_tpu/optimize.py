@@ -324,6 +324,16 @@ def optimize_gate_multistart(prob, controls, pcofs_init, target, *,
     On TPU use ``solver="schulz"`` (matmul-only stage solves — a vmapped
     LU factorization does not compile; see qgd_tpu/ops/linalg.py).
 
+    The line search is value-only Armijo backtracking, NOT optax's default
+    zoom: zoom differentiates its ``value_fn``, which on this workload
+    means reverse-mode AD through the forward scan — the one program
+    family the axon TPU compiler cannot handle (CLAUDE.md rule 1/2; a
+    toy takes 410 s to compile, real sizes never finish), and its
+    unbounded probe count made single dispatches exceed the ~300 s
+    watchdog and crash the TPU worker (measured 2026-08-20,
+    results/diag/multistart_r4.log). Backtracking probes evaluate the
+    hand-structured objective only — no AD, bounded work per dispatch.
+
     Returns ``(pcofs (S, n), objs (maxIter, S))`` — final parameters and
     the per-iteration objective trajectories.
     """
@@ -343,7 +353,10 @@ def optimize_gate_multistart(prob, controls, pcofs_init, target, *,
             ridge_penalty_strength=ridge_penalty_strength)
         return j1 + guard + ridge
 
-    opt = optax.lbfgs(memory_size=lbfgs_history)
+    opt = optax.lbfgs(
+        memory_size=lbfgs_history,
+        linesearch=optax.scale_by_backtracking_linesearch(
+            max_backtracking_steps=15, store_grad=False))
 
     def one_step(pc, st):
         (j1, guard, ridge), grad = objective_and_gradient(
