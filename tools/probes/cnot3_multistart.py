@@ -48,6 +48,11 @@ ap.add_argument("--from-npz", default=None,
                 help="seed pcofs from a previous run's best starts")
 ap.add_argument("--top", type=int, default=4)
 ap.add_argument("--seed", type=int, default=100)
+ap.add_argument("--perturb-from", default=None,
+                help="seed all S starts as PERTURBATIONS of the last pcof "
+                     "in this OptimizationHistory npz (basin scan around a "
+                     "known optimum)")
+ap.add_argument("--perturb-scale", type=float, default=2e-3)
 args = ap.parse_args()
 
 S, nsteps, max_iter = args.S, args.nsteps, args.max_iter
@@ -60,7 +65,16 @@ controls = tuple(qgd_tpu.CarrierControl(qgd_tpu.BSpline2Control(10, 550.0), f)
 tgt = qgd_tpu.models.cnot3_target()
 n = sum(c.N_coeff for c in controls)
 
-if args.from_npz:
+if args.perturb_from:
+    d = np.load(args.perturb_from)
+    base = d["pcof"][-1]
+    rng = np.random.default_rng(args.seed)
+    pcofs0 = jnp.asarray(
+        base[None, :] + rng.normal(0.0, args.perturb_scale, (S, base.size)))
+    pcofs0 = jnp.clip(pcofs0, -args.bound, args.bound)
+    print(f"seeded as {S} perturbations (sigma={args.perturb_scale}) of "
+          f"{args.perturb_from}", flush=True)
+elif args.from_npz:
     d = np.load(args.from_npz)
     order_idx = np.argsort(d["objs"][-1])[:args.top]
     pcofs0 = jnp.asarray(d["pcofs"][order_idx])
