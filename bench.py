@@ -298,7 +298,8 @@ def main():
     }
     # FLOP model + MFU (flops_model docstring) — regression-visibility
     # extras; absent on CPU-fallback results (the model is the TPU path's).
-    for k in ("model_tflops", "mfu_vs_bf16_peak"):
+    for k in ("model_tflops", "mfu_vs_bf16_peak", "stage_residual_max",
+              "schulz_iters", "scenarios"):
         if k in result:
             rec[k] = result[k]
     print(json.dumps(rec))

@@ -47,7 +47,9 @@ def build(nsteps):
     import qgd_tpu
 
     prob = qgd_tpu.models.cnot3_problem(tf=550.0, nsteps=nsteps)
-    prob = dataclasses.replace(prob, solver="schulz", dtype="float32")
+    prob = dataclasses.replace(
+        prob, solver="schulz", dtype="float32",
+        schulz_iters=int(os.environ.get("QGD_PROBE_SCHULZ_ITERS", "56")))
     controls = tuple(
         qgd_tpu.CarrierControl(qgd_tpu.BSpline2Control(10, 550.0), f)
         for f in qgd_tpu.models.cnot3_carrier_frequencies())
