@@ -127,7 +127,13 @@ def _stage_matrices(prob, m, dt, P, Q, sign: float):
         _on_tpu = jax.default_backend() in ("tpu", "axon")
     except Exception:
         _on_tpu = False
-    if (_os.environ.get("QGD_PALLAS", "1" if _on_tpu else "0") == "1"
+    # m >= 2 only: at m=1 (order 2) the recursion is a SINGLE matmul per
+    # time point — the kernel fuses nothing and replaces one big batched
+    # GEMM with a serialized per-cell grid (measured: the 5.5M-step order-2
+    # chunked gradient ran ~45% slower with the kernel on,
+    # results/diag/longhorizon_chunked_f32_5500000_r4.log vs the r3 log).
+    if (m >= 2
+            and _os.environ.get("QGD_PALLAS", "1" if _on_tpu else "0") == "1"
             and prob.system_sym.dtype == jnp.float32):
         from .ops.pallas_step import hermite_lhs_matrix_kernel_call
 
