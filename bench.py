@@ -178,24 +178,29 @@ def measure():
 
     # objective+gradient = forward sweep + adjoint sweep (+ accumulation)
     total_steps = 2 * NSTEPS * scenarios
-    # FLOP/MFU accounting (per TIMESTEP, not per counted fwd+adj step):
-    # warm-started Schulz budget = max(schulz_iters - 40, 8), f32 refine
-    # sweeps from the env-resolved default.
-    warm = max(prob.schulz_iters - 40, 8)
-    refine = int(os.environ.get("QGD_REFINE_SWEEPS_F32", "2"))
-    per_step = flops_model(ORDER, prob.real_system_size,
-                           prob.N_initial_conditions, warm, refine)
-    achieved = per_step * NSTEPS * scenarios / elapsed
     rec = {
         "_worker": True,
         "backend": backend,
         "scenarios": scenarios,
         "schulz_iters": prob.schulz_iters,
         "steps_per_sec": total_steps / elapsed,
-        "model_tflops": round(achieved / 1e12, 2),
-        "mfu_vs_bf16_peak": round(achieved / V5E_BF16_PEAK_FLOPS, 4),
     }
     if backend in ("tpu", "axon"):
+        # FLOP/MFU accounting (per TIMESTEP, not per counted fwd+adj step),
+        # TPU-only: the model and the bf16-peak denominator describe the
+        # TPU program — a CPU-fallback MFU would be meaningless. The warm
+        # Schulz budget and f32 refine-sweep count come from the library
+        # (qgd_tpu.ops.linalg) so the model can't silently diverge from the
+        # measured program.
+        from qgd_tpu.ops.linalg import REFINE_SWEEPS_F32, schulz_warm_iters
+
+        per_step = flops_model(ORDER, prob.real_system_size,
+                               prob.N_initial_conditions,
+                               schulz_warm_iters(prob.schulz_iters),
+                               REFINE_SWEEPS_F32)
+        achieved = per_step * NSTEPS * scenarios / elapsed
+        rec["model_tflops"] = round(achieved / 1e12, 2)
+        rec["mfu_vs_bf16_peak"] = round(achieved / V5E_BF16_PEAK_FLOPS, 4)
         # the residual guard that justifies the Schulz budget: solve
         # quality at the benchmarked iteration count (state-aware probes)
         from qgd_tpu.diagnostics import stage_residuals
@@ -297,7 +302,8 @@ def main():
         "vs_baseline": round(sps / BASELINE_STEPS_PER_SEC, 3),
     }
     # FLOP model + MFU (flops_model docstring) — regression-visibility
-    # extras; absent on CPU-fallback results (the model is the TPU path's).
+    # extras; the worker emits them only on TPU backends (the model is the
+    # TPU path's), so CPU-fallback records carry none of them.
     for k in ("model_tflops", "mfu_vs_bf16_peak", "stage_residual_max",
               "schulz_iters", "scenarios"):
         if k in result:

@@ -62,17 +62,11 @@ from .ops.hermite import (
     build_lhs,
     hermite_coefficients,
 )
-from .ops.linalg import (
-    stage_solve,
-    factorize_stages,
-    solve_factored,
-    schulz_inverse_auto,
-    inverse_stage_solve,
-)
-from .forward import (_stage_matrices_both, _make_preconditioner,
-                      _drift_stage_inverse)
+from .ops.linalg import schulz_inverse_auto, inverse_stage_solve
+from .forward import _make_preconditioner, _drift_stage_inverse
 from .segmented import (choose_segments, _segment_mode,
-                        _forward_segment_scan, _guard_quad)
+                        _forward_segment_scan, _guard_quad,
+                        _make_seg_table_cot, _segment_bwd_body)
 
 
 def _chunk_divisor(S: int, L: int, max_dispatch_steps: int) -> int:
@@ -235,78 +229,17 @@ def _bwd_chunk(prob, controls, pcof, lam_in, snaps, ts_chunk, tau_chunk,
     w_rhs = (c * dt64 ** jpow).astype(wd)
     w_lhs = (c * (-dt64) ** jpow).astype(wd)
 
-    def stack_from_tables(p_t, q_t, w):
-        A = assemble_generator_stack(wprob, p_t, q_t, m)
-        return scaled_derivatives(A, w.astype(wd), m)
-
-    def table_cot(p_t, q_t, w_k, cot_k):
-        _, vjp = jax.vjp(lambda p, q: stack_from_tables(p, q, w_k),
-                         p_t, q_t)
-        return vjp(cot_k.astype(wd))
-
-    try:
-        on_tpu = jax.default_backend() in ("tpu", "axon")
-    except Exception:
-        on_tpu = False
-    cot_batch = 256 if on_tpu else 4096
-
-    def seg_table_cot(pl_, ql_, hist_k, cot_k):
-        if L <= cot_batch:
-            return jax.vmap(table_cot)(pl_, ql_, hist_k, cot_k)
-        return jax.lax.map(lambda a: table_cot(*a),
-                           (pl_, ql_, hist_k, cot_k), batch_size=cot_batch)
+    # Segment body + table-cotangent builders shared with
+    # segmented_objective_and_gradient (segmented.py) — one implementation
+    # of the re-forward / lambda-sweep / merged-cotangent arithmetic.
+    _, seg_table_cot = _make_seg_table_cot(wprob, m, L)
 
     def bwd_body(lam_b, xs):
         snap, pl_, ql_, pr_, qr_, tau_k, first_k = xs
-
-        hist = _forward_segment_scan(wprob, m, dt, pl_, ql_, pr_, qr_,
-                                     snap, mode, precond=precond,
-                                     schulz_X0=schulz_X0)
-
-        f_seg = (guard_scale * tau_k)[:, None, None] * jnp.einsum(
-            "ab,tbj->taj", W, hist[:-1].astype(jnp.float64))
-        f_seg = f_seg.astype(wd)
-
-        rhs_mats, lhs_mats = _stage_matrices_both(wprob, m, dt, pl_, ql_)
-        lhs_T = jnp.swapaxes(lhs_mats, -1, -2)
-        if mode == "schulz":
-            XT = schulz_inverse_auto(lhs_T, prob.schulz_iters, X0=schulz_X0T)
-
-            def lam_step(lam, xs_):
-                R, MT, X, f_n = xs_
-                mu = jnp.swapaxes(R, -1, -2) @ lam + f_n
-                lam_prev = inverse_stage_solve(MT, X, mu)
-                return lam_prev, lam_prev
-
-            lam_xs = (rhs_mats[::-1], lhs_T[::-1], XT[::-1], f_seg[::-1])
-        elif mode == "full":
-            lu, piv = factorize_stages(lhs_T)
-
-            def lam_step(lam, xs_):
-                R, MT, lu_n, piv_n, f_n = xs_
-                mu = jnp.swapaxes(R, -1, -2) @ lam + f_n
-                lam_prev = solve_factored(MT, lu_n, piv_n, mu)
-                return lam_prev, lam_prev
-
-            lam_xs = (rhs_mats[::-1], lhs_T[::-1], lu[::-1], piv[::-1],
-                      f_seg[::-1])
-        else:
-            def lam_step(lam, xs_):
-                R, MT, f_n = xs_
-                mu = jnp.swapaxes(R, -1, -2) @ lam + f_n
-                lam_prev = stage_solve(MT, mu)
-                return lam_prev, lam_prev
-
-            lam_xs = (rhs_mats[::-1], lhs_T[::-1], f_seg[::-1])
-
-        lam_a, lams_rev = jax.lax.scan(lam_step, lam_b, lam_xs)
-        lam_seg = jnp.concatenate([lams_rev[::-1], lam_b[None]], axis=0)
-        lam_seg = lam_seg.at[0].multiply(first_k.astype(wd))
-
-        cot = (w_rhs[None, :, None, None] * lam_seg[1:, None]
-               - w_lhs[None, :, None, None] * lam_seg[:-1, None])
-        cotP_seg, cotQ_seg = seg_table_cot(pl_, ql_, hist[:-1], cot)
-        return lam_seg[0], (cotP_seg, cotQ_seg)
+        return _segment_bwd_body(
+            wprob, m, dt, mode, precond, schulz_X0, schulz_X0T,
+            prob.schulz_iters, guard_scale, W, w_rhs, w_lhs, seg_table_cot,
+            lam_b, snap, pl_, ql_, pr_, qr_, tau_k, first_k)
 
     rev = lambda a: a[::-1]
     lam_out, (cotP_rev, cotQ_rev) = jax.lax.scan(

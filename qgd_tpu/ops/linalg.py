@@ -165,6 +165,15 @@ def schulz_universal_init(M):
     return MT / (n1 * ninf)[..., None, None]
 
 
+def schulz_warm_iters(total_iters: int) -> int:
+    """Warm-start iteration budget used by :func:`schulz_inverse_auto` when
+    an ``X0`` is supplied: the total budget minus the ~40-iteration
+    universal-init ramp, floored at 8. Exposed so external FLOP/latency
+    models (bench.py) derive it from the library instead of duplicating the
+    formula."""
+    return max(total_iters - 40, 8)
+
+
 def schulz_inverse_auto(M, iters: int = 56, dtype=jnp.float32, X0=None,
                         warm_iters: int | None = None, precision=None):
     """Approximate inverse of ``M`` by Newton–Schulz, computed in ``dtype``
@@ -221,7 +230,8 @@ def schulz_inverse_auto(M, iters: int = 56, dtype=jnp.float32, X0=None,
         R = eye - jnp.matmul(M32, X0, precision=jax.lax.Precision.HIGHEST)
         r = jnp.sqrt(jnp.sum(R * R, axis=(-2, -1), keepdims=True))
         X0 = jnp.where(r < 1.0, X0, schulz_universal_init(M32))
-        iters = warm_iters if warm_iters is not None else max(iters - 40, 8)
+        iters = warm_iters if warm_iters is not None else \
+            schulz_warm_iters(iters)
     return schulz_inverse(M32, X0, iters, precision=precision)
 
 

@@ -31,12 +31,12 @@ f32 only: the MXU has no f64; the f64 path uses the XLA implementation in
 qgd_tpu/ops/hermite.py. Correctness is locked by interpret-mode tests
 (tests/test_pallas.py) against that implementation.
 
-AD: ``hermite_lhs_matrix_kernel_call`` carries a ``jax.custom_vjp`` whose
-backward pass runs ``jax.vjp`` over the XLA-path equivalent
-(:func:`_lhs_matrix_xla`) — Pallas kernels have no AD rules, and callers
-like optax's zoom linesearch DO differentiate through ``eval_forward``
+AD: both kernel calls carry a ``jax.custom_vjp`` whose backward pass runs
+``jax.vjp`` over the XLA-path equivalent (:func:`_lhs_matrix_xla` /
+:func:`_rhs_xla`) — Pallas kernels have no AD rules, and callers like
+optax's zoom linesearch DO differentiate through ``eval_forward``
 ('Linearization failed to produce known values for all output primals',
-measured the day the kernel became the TPU default).
+measured the day the LHS kernel became the TPU default).
 """
 
 from __future__ import annotations
@@ -74,13 +74,35 @@ def _rhs_kernel(m, coeffs, a_ref, w_ref, out_ref):
     out_ref[0] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("m", "interpret"))
+def _rhs_xla(A_stack, W, dt, m: int):
+    """The RHS kernel's mathematical definition in plain XLA ops (f32):
+    per batch element, ``sum_j dt^j c_j W_j`` from the Leibniz recursion on
+    ``W``. Serves as the kernel's differentiation rule."""
+    from .hermite import scaled_derivatives, build_rhs
+
+    def one(A, w):
+        Ws = scaled_derivatives(A.astype(jnp.float32), w.astype(jnp.float32),
+                                m)
+        return build_rhs(Ws, jnp.asarray(dt, jnp.float32), m)
+
+    return jax.vmap(one)(A_stack, W)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def hermite_rhs_kernel_call(A_stack, W, dt, m: int, interpret: bool = False):
     """Fused explicit-half of the Hermite step.
 
     ``A_stack (B, m, n, n)``, ``W (B, n, b)``, scalar ``dt`` -> ``(B, n, b)``.
     ``B`` is the batch (scenario) grid axis.
+
+    Differentiable the same way as :func:`hermite_lhs_matrix_kernel_call`:
+    primal in Mosaic, VJP through the XLA-path equivalent (``_rhs_xla``).
     """
+    return _rhs_kernel_call_impl(A_stack, W, dt, m, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "interpret"))
+def _rhs_kernel_call_impl(A_stack, W, dt, m: int, interpret: bool = False):
     B, _, n, _ = A_stack.shape
     b = W.shape[-1]
     coeffs = tuple(float(c) for c in hermite_coefficients(m))
@@ -102,6 +124,22 @@ def hermite_rhs_kernel_call(A_stack, W, dt, m: int, interpret: bool = False):
             out_shape=jax.ShapeDtypeStruct((B, n, b), jnp.float32),
             interpret=interpret,
         )(_scaled_stack(A_stack, dt, m, 1.0), W.astype(jnp.float32))
+
+
+def _rhs_kernel_call_fwd(A_stack, W, dt, m, interpret):
+    return _rhs_kernel_call_impl(A_stack, W, dt, m, interpret), (A_stack, W,
+                                                                 dt)
+
+
+def _rhs_kernel_call_bwd(m, interpret, res, g):
+    A_stack, W, dt = res
+    _, vjp = jax.vjp(lambda a, w, d: _rhs_xla(a, w, d, m), A_stack, W, dt)
+    dA, dW, ddt = vjp(g.astype(jnp.float32))
+    return (dA.astype(A_stack.dtype), dW.astype(W.dtype),
+            ddt.astype(jnp.result_type(dt)))
+
+
+hermite_rhs_kernel_call.defvjp(_rhs_kernel_call_fwd, _rhs_kernel_call_bwd)
 
 
 def _lhs_kernel(m, coeffs, a_ref, out_ref):

@@ -146,6 +146,39 @@ class SchrodingerProblem:
     def copy(self) -> "SchrodingerProblem":
         return dataclasses.replace(self)
 
+    def __repr__(self) -> str:
+        """Informative summary (the reference's pretty-printer,
+        src/SchrodingerProb.jl:278-327, which reports operator shapes,
+        sizes, tf/nsteps/dt and solver configuration)."""
+        try:
+            n_ops = self.N_operators
+            n_ic = self.N_initial_conditions
+            N = self.N_tot_levels
+            guard_rank = int(np.count_nonzero(
+                np.diag(np.asarray(self.guard_subspace_projector)))) // 2
+            tf = float(np.asarray(self.tf))
+            dt = tf / self.nsteps
+            lines = [
+                "SchrodingerProblem:",
+                f"  levels: {N} total, {self.N_ess_levels} essential, "
+                f"{guard_rank} guarded (real system size {2 * N})",
+                f"  control operators: {n_ops}  |  initial conditions: "
+                f"{n_ic}",
+                f"  tf = {tf:g}, nsteps = {self.nsteps}, dt = {dt:g}",
+                f"  solver = {self.solver!r}, dtype = {self.dtype!r}"
+                + (f", schulz_iters = {self.schulz_iters}"
+                   if self.solver == "schulz" else "")
+                + (f", gmres_iters = {self.gmres_iters}, "
+                   f"preconditioner = {self.preconditioner_type!r}"
+                   if self.solver == "gmres" else ""),
+            ]
+            return "\n".join(lines)
+        except Exception:
+            # tracers / abstract values inside jit: fall back to the terse
+            # default rather than crashing a debug print
+            return (f"SchrodingerProblem(nsteps={self.nsteps}, "
+                    f"solver={self.solver!r}, dtype={self.dtype!r})")
+
 
 def _check_problem(system_sym, system_asym, sym_ops, asym_ops, u0, v0,
                    guard, N_ess_levels):

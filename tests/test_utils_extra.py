@@ -128,3 +128,17 @@ def test_cli_example_runs(capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "min objective" in out
+
+
+def test_problem_repr():
+    """__repr__ mirrors the reference pretty-printer's content
+    (src/SchrodingerProb.jl:278-327): sizes, tf/nsteps, solver config."""
+    import dataclasses
+    from qgd_tpu.models import cnot3_problem
+
+    prob = cnot3_problem(nsteps=100)
+    r = repr(prob)
+    assert "64 total" in r and "8 essential" in r and "56 guarded" in r
+    assert "nsteps = 100" in r and "solver = 'lu'" in r
+    r2 = repr(dataclasses.replace(prob, solver="schulz", schulz_iters=48))
+    assert "schulz_iters = 48" in r2
