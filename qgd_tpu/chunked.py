@@ -39,10 +39,11 @@ synchronizes (``jax.block_until_ready`` is a no-op there, CLAUDE.md
 findings table), so the fetch both paces the watchdog budget and gives an
 honest per-chunk wall-clock.
 
-Multi-chip note: this is a host loop, so it composes with data/scenario
-sharding by putting the chunk functions under ``shard_map`` per dispatch;
-the ``ic_axis`` reductions of segmented.py are not replicated here (the
-long-horizon single-run workload is the one-chip latency case).
+Multi-chip: pass ``mesh=`` to run every chunk dispatch under
+``shard_map`` with the gate-basis columns split over the mesh's ``ic``
+axis (cross-column reductions psum-ed inside each dispatch) — the
+long-horizon workload then scales chips x wall-clock; see
+``_make_sharded_chunk_fns``.
 """
 
 from __future__ import annotations
@@ -81,9 +82,9 @@ def _chunk_divisor(S: int, L: int, max_dispatch_steps: int) -> int:
     return best
 
 
-@partial(jax.jit, static_argnames=("order", "S_c", "L"))
+@partial(jax.jit, static_argnames=("order", "S_c", "L", "ic_axis"))
 def _fwd_chunk(prob, controls, pcof, w_in, ts_chunk, tau_chunk,
-               order: int, S_c: int, L: int):
+               order: int, S_c: int, L: int, ic_axis: str | None = None):
     """Propagate ``S_c`` segments (``S_c * L`` steps) from ``w_in``.
 
     ``ts_chunk``: the ``S_c*L + 1`` global grid times covered by the chunk;
@@ -125,12 +126,15 @@ def _fwd_chunk(prob, controls, pcof, w_in, ts_chunk, tau_chunk,
     (w_out, guard_partial), snapshots = jax.lax.scan(
         fwd_body, (w_in, jnp.zeros((), dtype=jnp.float64)),
         (Pl, Ql, Pr, Qr, tau_seg))
+    if ic_axis is not None:
+        guard_partial = jax.lax.psum(guard_partial, ic_axis)
     return w_out, snapshots, guard_partial
 
 
-@partial(jax.jit, static_argnames=("order", "cost_type"))
+@partial(jax.jit, static_argnames=("order", "cost_type", "ic_axis"))
 def _terminal_chunk(prob, controls, pcof, w_final, target_real,
-                    order: int, cost_type: str):
+                    order: int, cost_type: str,
+                    ic_axis: str | None = None):
     """Terminal cost/gradient, ``lambda_T`` via the transposed stage solve,
     the final trapezoid guard term, and the index-``T`` pcof-gradient
     contribution (only the LHS cotangent survives at ``T`` — no step
@@ -146,10 +150,12 @@ def _terminal_chunk(prob, controls, pcof, w_final, target_real,
     guard_term = 0.5 * _guard_quad(
         prob, w_final[None].astype(jnp.float64),
         jnp.ones((1,), dtype=jnp.float64))
+    if ic_axis is not None:
+        guard_term = jax.lax.psum(guard_term, ic_axis)
 
     w_final64 = w_final.astype(jnp.float64)
     j1, dj1 = terminal_cost_and_grad(w_final64, target_real,
-                                     prob.N_ess_levels, cost_type)
+                                     prob.N_ess_levels, cost_type, ic_axis)
 
     guard_scale = 2.0 * dt64 / prob.tf
     W = prob.guard_subspace_projector
@@ -184,12 +190,15 @@ def _terminal_chunk(prob, controls, pcof, w_final, target_real,
         lambda pc: control_tables_at(controls, pc, prob.tf, m), pcof)
     (grad_T,) = vjp_tf((cotPT.astype(jnp.float64),
                         cotQT.astype(jnp.float64)))
+    if ic_axis is not None:
+        grad_T = jax.lax.psum(grad_T, ic_axis)
     return j1, guard_term, lam_T, grad_T
 
 
-@partial(jax.jit, static_argnames=("order", "S_c", "L"))
+@partial(jax.jit, static_argnames=("order", "S_c", "L", "ic_axis"))
 def _bwd_chunk(prob, controls, pcof, lam_in, snaps, ts_chunk, tau_chunk,
-               first_mask, order: int, S_c: int, L: int):
+               first_mask, order: int, S_c: int, L: int,
+               ic_axis: str | None = None):
     """Backward sweep over one chunk's ``S_c`` segments (global order
     reversed by the caller): re-forward each segment from its snapshot,
     lambda sweep, merged cotangents, and the chunk's control-table VJP.
@@ -253,7 +262,59 @@ def _bwd_chunk(prob, controls, pcof, lam_in, snaps, ts_chunk, tau_chunk,
         lambda pc: control_tables(controls, pc, ts_chunk[:-1], m), pcof)
     (grad_partial,) = vjp_tables((cotP.astype(jnp.float64),
                                   cotQ.astype(jnp.float64)))
+    if ic_axis is not None:
+        grad_partial = jax.lax.psum(grad_partial, ic_axis)
     return lam_out, grad_partial
+
+
+def _make_sharded_chunk_fns(prob, controls, order, cost_type, S_c, L,
+                            mesh, ic_axis: str):
+    """shard_map-wrapped chunk dispatch functions with the gate-basis
+    columns split over ``ic_axis`` (VERDICT r4 #7: the long-horizon
+    chunked driver composes with ic sharding — the chunk bodies already
+    take ``ic_axis`` for their psums; this builds the per-dispatch
+    wrappers once so every chunk reuses the same traced callables)."""
+    import dataclasses
+
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    ic = P(None, ic_axis)
+    snaps_spec = P(None, None, ic_axis)
+
+    def fwd_local(u0, v0, pc, w_in, ts_chunk, tau_chunk):
+        p = dataclasses.replace(prob, u0=u0, v0=v0)
+        return _fwd_chunk(p, controls, pc, w_in, ts_chunk, tau_chunk,
+                          order, S_c, L, ic_axis=ic_axis)
+
+    fwd = jax.jit(shard_map(
+        fwd_local, mesh=mesh,
+        in_specs=(ic, ic, P(), ic, P(), P()),
+        out_specs=(ic, snaps_spec, P()), check_vma=False))
+
+    def term_local(u0, v0, pc, w_final, tgt):
+        p = dataclasses.replace(prob, u0=u0, v0=v0)
+        return _terminal_chunk(p, controls, pc, w_final, tgt,
+                               order, cost_type, ic_axis=ic_axis)
+
+    term = jax.jit(shard_map(
+        term_local, mesh=mesh,
+        in_specs=(ic, ic, P(), ic, ic),
+        out_specs=(P(), P(), ic, P()), check_vma=False))
+
+    def bwd_local(u0, v0, pc, lam_in, snaps, ts_chunk, tau_chunk,
+                  first_mask):
+        p = dataclasses.replace(prob, u0=u0, v0=v0)
+        return _bwd_chunk(p, controls, pc, lam_in, snaps, ts_chunk,
+                          tau_chunk, first_mask, order, S_c, L,
+                          ic_axis=ic_axis)
+
+    bwd = jax.jit(shard_map(
+        bwd_local, mesh=mesh,
+        in_specs=(ic, ic, P(), ic, snaps_spec, P(), P(), P()),
+        out_specs=(ic, P()), check_vma=False))
+
+    return fwd, term, bwd
 
 
 def chunked_objective_and_gradient(prob, controls, pcof, target,
@@ -263,7 +324,8 @@ def chunked_objective_and_gradient(prob, controls, pcof, target,
                                    n_segments: int = 0,
                                    max_dispatch_steps: int = 0,
                                    segments_per_chunk: int = 0,
-                                   progress=None):
+                                   progress=None,
+                                   mesh=None, ic_axis: str = "ic"):
     """Host-chunked equivalent of
     ``segmented.segmented_objective_and_gradient``: same
     ``((j1, guard, ridge), grad)`` semantics, device time per dispatch
@@ -274,6 +336,14 @@ def chunked_objective_and_gradient(prob, controls, pcof, target,
     wall_seconds)`` invoked after each fetched dispatch — the per-chunk
     fetch is also the host-side synchronization that keeps every device
     execution inside the axon watchdog budget.
+
+    ``mesh``: optional device mesh with an ``ic_axis`` axis — every chunk
+    dispatch then runs under ``shard_map`` with the gate-basis columns
+    split over it and all cross-column reductions psum-ed, so the
+    long-horizon workload scales across chips (chips x wall-clock); the
+    host loop and chunk pacing are unchanged. Values equal the
+    single-device path to summation roundoff
+    (tests/test_chunked.py::test_chunked_sharded_matches_single).
     """
     import time
 
@@ -303,6 +373,10 @@ def chunked_objective_and_gradient(prob, controls, pcof, target,
     C = S // S_c
     dt = prob.tf / T
 
+    if mesh is not None:
+        fwd_fn, term_fn, bwd_fn = _make_sharded_chunk_fns(
+            prob, controls, order, cost_type, S_c, L, mesh, ic_axis)
+
     # global trapezoid weights for the left endpoints (index T handled in
     # the terminal dispatch)
     tau = np.ones(T, dtype=np.float64)
@@ -317,17 +391,25 @@ def chunked_objective_and_gradient(prob, controls, pcof, target,
         a = k * S_c * L
         b = (k + 1) * S_c * L
         ts_chunk = jnp.arange(a, b + 1, dtype=jnp.float64) * dt
-        w, snaps, gp = _fwd_chunk(prob, controls, pcof, w,
-                                  ts_chunk, jnp.asarray(tau[a:b]),
-                                  order, S_c, L)
+        if mesh is not None:
+            w, snaps, gp = fwd_fn(prob.u0, prob.v0, pcof, w, ts_chunk,
+                                  jnp.asarray(tau[a:b]))
+        else:
+            w, snaps, gp = _fwd_chunk(prob, controls, pcof, w,
+                                      ts_chunk, jnp.asarray(tau[a:b]),
+                                      order, S_c, L)
         guard_sum += float(gp)               # fetch = sync (axon pacing)
         snaps_chunks.append(snaps)
         if progress is not None:
             progress("fwd", k, C, time.perf_counter() - t0)
 
     t0 = time.perf_counter()
-    j1, guard_term, lam, grad_T = _terminal_chunk(
-        prob, controls, pcof, w, target_real, order, cost_type)
+    if mesh is not None:
+        j1, guard_term, lam, grad_T = term_fn(prob.u0, prob.v0, pcof, w,
+                                              target_real)
+    else:
+        j1, guard_term, lam, grad_T = _terminal_chunk(
+            prob, controls, pcof, w, target_real, order, cost_type)
     j1 = float(j1)
     guard_sum += float(guard_term)
     grad = np.asarray(grad_T, dtype=np.float64)
@@ -342,10 +424,16 @@ def chunked_objective_and_gradient(prob, controls, pcof, target,
         first_mask = np.ones(S_c, dtype=np.float64)
         if k == 0:
             first_mask[0] = 0.0
-        lam, gpart = _bwd_chunk(prob, controls, pcof, lam,
+        if mesh is not None:
+            lam, gpart = bwd_fn(prob.u0, prob.v0, pcof, lam,
                                 snaps_chunks[k], ts_chunk,
                                 jnp.asarray(tau[a:b]),
-                                jnp.asarray(first_mask), order, S_c, L)
+                                jnp.asarray(first_mask))
+        else:
+            lam, gpart = _bwd_chunk(prob, controls, pcof, lam,
+                                    snaps_chunks[k], ts_chunk,
+                                    jnp.asarray(tau[a:b]),
+                                    jnp.asarray(first_mask), order, S_c, L)
         grad = grad + np.asarray(gpart, dtype=np.float64)  # fetch = sync
         snaps_chunks[k] = None                             # free HBM refs
         if progress is not None:

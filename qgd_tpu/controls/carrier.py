@@ -62,11 +62,14 @@ class _Carrier(Control):
         d = ks[:, None] - ks[None, :]
         tri = d >= 0
         dc = jnp.clip(d, 0)
-        P = jnp.zeros((m,), dtype=jnp.float64)
-        Q = jnp.zeros((m,), dtype=jnp.float64)
-        for f in range(self.N_freq):
-            w = self.carrier_frequencies[f]
-            local = jax.lax.dynamic_slice(pcof, (f * npc,), (npc,))
+        # One vmap over the frequency axis instead of a Python-unrolled
+        # loop: the loop re-embedded the whole per-frequency subgraph
+        # (spline evals + Cauchy products) N_freq times in the HLO, costing
+        # trace time and program size at every new shape (round-3/4 weak
+        # item; measured at the flagship shape in STATUS.md round 5).
+        locals_ = pcof.reshape(self.N_freq, npc)
+
+        def per_freq(w, local):
             ep = self.base_control.p_derivatives(t, local, m)
             eq = self.base_control.q_derivatives(t, local, m)
             # i^k e^{iwt} cycles through (cos, -sin, -cos, sin) + i*(...)
@@ -85,9 +88,10 @@ class _Carrier(Control):
             Cr = jnp.where(tri, cr[dc], 0.0)
             Ci = jnp.where(tri, ci[dc], 0.0)
             # (ep + i eq) * (cr + i ci), truncated Cauchy product
-            P = P + Cr @ ep - Ci @ eq
-            Q = Q + Ci @ ep + Cr @ eq
-        return P, Q
+            return Cr @ ep - Ci @ eq, Ci @ ep + Cr @ eq
+
+        Pf, Qf = jax.vmap(per_freq)(self.carrier_frequencies, locals_)
+        return jnp.sum(Pf, axis=0), jnp.sum(Qf, axis=0)
 
     def p(self, t, pcof):
         return self._tables(t, pcof, 1)[0][0]

@@ -185,6 +185,14 @@ def _time_grid(prob):
     return dt, ts
 
 
+def _warm_budget(prob):
+    """Explicit warm-start Schulz budget from the problem, or ``None`` to
+    use the derived default (``schulz_warm_iters(prob.schulz_iters)``).
+    ``0`` = no per-step inverse construction: stages are solved purely by
+    drift-inverse-preconditioned refinement sweeps."""
+    return prob.schulz_warm_budget if prob.schulz_warm_budget >= 0 else None
+
+
 def _drift_stage_inverse(prob, m, dt, transpose: bool = False):
     """Newton–Schulz inverse of the *drift-only* implicit stage matrix —
     the warm start for per-step in-scan Schulz solves (control terms
@@ -253,7 +261,8 @@ def _hermite_step(prob, m, dt, w, pq_n, pq_np1, forcing_n, forcing_np1,
         lhs_mat = build_lhs(D, dt, m)
         # warm-started when the caller hoisted the drift-only stage inverse
         # out of the scan (a few sweeps instead of the full universal ramp)
-        X = schulz_inverse_auto(lhs_mat, prob.schulz_iters, X0=schulz_X0)
+        X = schulz_inverse_auto(lhs_mat, prob.schulz_iters, X0=schulz_X0,
+                                warm_iters=_warm_budget(prob))
         w_next = inverse_stage_solve(lhs_mat, X, rhs)
     else:
         eye = jnp.eye(prob.real_system_size, dtype=w.dtype)
@@ -310,7 +319,8 @@ def hermite_forward_history(prob, controls, pcof, order: int = 2,
             # Newton-Schulz matmuls than the universal-init ramp, and these
             # dominate the hot path's FLOPs.
             Xs = schulz_inverse_auto(lhs_mats, prob.schulz_iters,
-                                     X0=_drift_stage_inverse(prob, m, dt))
+                                     X0=_drift_stage_inverse(prob, m, dt),
+                                     warm_iters=_warm_budget(prob))
 
             def step_fast(w, xs):
                 pq_n, M, X = xs
@@ -531,7 +541,8 @@ def eval_adjoint(prob, controls, pcof, terminal_condition, order: int = 2,
         elif precompute == "schulz":
             XT = schulz_inverse_auto(
                 lhs_T, prob.schulz_iters,
-                X0=_drift_stage_inverse(prob, m, dt, transpose=True))
+                X0=_drift_stage_inverse(prob, m, dt, transpose=True),
+                warm_iters=_warm_budget(prob))
 
             def step_fast(lam, xs):
                 R, MT, X, f_n = xs
@@ -567,7 +578,9 @@ def eval_adjoint(prob, controls, pcof, terminal_condition, order: int = 2,
                 MT = lhs_mat.T
                 lam_prev = inverse_stage_solve(
                     MT, schulz_inverse_auto(MT, prob.schulz_iters,
-                                            X0=schulz_X0T), mu)
+                                            X0=schulz_X0T,
+                                            warm_iters=_warm_budget(prob)),
+                    mu)
             else:
                 lam_prev = stage_solve_transposed(lhs_mat, mu)
             return lam_prev, lam_prev

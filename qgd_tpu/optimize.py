@@ -308,7 +308,10 @@ def optimize_gate_multistart(prob, controls, pcofs_init, target, *,
                              stop_objective: float = 1e-7,
                              lbfgs_history: int = 40,
                              print_level: int = 5,
-                             cost_type: str = "Infidelity"):
+                             cost_type: str = "Infidelity",
+                             ls_max_steps: int = 25,
+                             ls_decrease_factor: float = 0.5,
+                             ls_increase_factor: float = 1.5):
     """Batched multi-start optimization: vmapped on-device L-BFGS over a
     batch of initial control vectors ``pcofs_init (S, n)``.
 
@@ -346,17 +349,29 @@ def optimize_gate_multistart(prob, controls, pcofs_init, target, *,
     hi = jnp.inf if pcof_U is None else jnp.asarray(pcof_U)
 
     from .adjoint import objective_and_gradient
+    from .objective import objective_value
 
     def value_fn(pc):
-        (j1, guard, ridge), _ = objective_and_gradient(
-            prob, controls, pc, target, order, cost_type=cost_type,
-            ridge_penalty_strength=ridge_penalty_strength)
-        return j1 + guard + ridge
+        # Probe evaluations are VALUE-ONLY (one forward sweep, no adjoint):
+        # round 4 paid a full objective+gradient per Armijo probe — up to
+        # 15x the necessary linesearch cost per iteration.
+        return objective_value(prob, controls, pc, target, order,
+                               ridge_penalty_strength=ridge_penalty_strength,
+                               cost_type=cost_type)
 
+    # Round-4's defaults (15 steps x 0.8) could only shrink the step to
+    # 0.8^15 = 3.5% of the trial — far too coarse for this objective's
+    # narrow valleys (results/MULTISTART.md finding 1: random starts
+    # stalled at obj ~1.35-1.48 while scipy's strong-Wolfe descended to
+    # 1.2e-2). 25 x 0.5 reaches 3e-8 of the trial step; increase_factor
+    # re-grows it between iterations (adaptive initial step).
     opt = optax.lbfgs(
         memory_size=lbfgs_history,
         linesearch=optax.scale_by_backtracking_linesearch(
-            max_backtracking_steps=15, store_grad=False))
+            max_backtracking_steps=ls_max_steps,
+            decrease_factor=ls_decrease_factor,
+            increase_factor=ls_increase_factor,
+            store_grad=False))
 
     def one_step(pc, st):
         (j1, guard, ridge), grad = objective_and_gradient(

@@ -92,6 +92,18 @@ class SchrodingerProblem:
     # Warm-started solves (drift-only inverse as X0) use
     # ``max(schulz_iters - 40, 8)`` iterations instead.
     schulz_iters: int = field(default=56, metadata=dict(static=True))
+    # Explicit warm-start Newton-Schulz budget for the per-step stage
+    # inverses (-1 = derive from schulz_iters via
+    # ops.linalg.schulz_warm_iters, i.e. max(schulz_iters-40, 8)).
+    # ``0`` deletes per-step inverse construction entirely: every stage is
+    # solved by iterative-refinement sweeps preconditioned with the ONE
+    # hoisted drift-only inverse (contraction ||I - X_drift M_n|| =
+    # O(dt * control amplitude) per sweep — the reference's
+    # LUPreconditioner observation, src/preconditioners.jl:44-55, taken to
+    # its conclusion). Requires enough refinement sweeps for the target
+    # residual: see ops/linalg.REFINE_SWEEPS_F32 and
+    # diagnostics.stage_residuals, which guards the achieved quality.
+    schulz_warm_budget: int = field(default=-1, metadata=dict(static=True))
     preconditioner_type: str = field(default="identity",
                                      metadata=dict(static=True))
     # Propagation dtype: "float64" (default; required for the 1e-14

@@ -115,8 +115,11 @@ def _forward_segment_scan(prob, m, dt, P_seg_l, Q_seg_l, P_seg_r, Q_seg_r,
     if mode in ("schulz", "full", "mats"):
         lhs_mats = _stage_matrices(prob, m, dt, P_seg_r, Q_seg_r, -1.0)
         if mode == "schulz":
+            from .forward import _warm_budget
+
             Xs = schulz_inverse_auto(lhs_mats, prob.schulz_iters,
-                                     X0=schulz_X0)
+                                     X0=schulz_X0,
+                                     warm_iters=_warm_budget(prob))
 
             def solve(M, X, rhs):
                 return inverse_stage_solve(M, X, rhs)
@@ -236,7 +239,10 @@ def _segment_bwd_body(wprob, m, dt, mode, precond, schulz_X0, schulz_X0T,
     rhs_mats, lhs_mats = _stage_matrices_both(wprob, m, dt, pl_, ql_)
     lhs_T = jnp.swapaxes(lhs_mats, -1, -2)
     if mode == "schulz":
-        XT = schulz_inverse_auto(lhs_T, schulz_iters, X0=schulz_X0T)
+        from .forward import _warm_budget
+
+        XT = schulz_inverse_auto(lhs_T, schulz_iters, X0=schulz_X0T,
+                                 warm_iters=_warm_budget(wprob))
 
         def lam_step(lam, xs_):
             R, MT, X, f_n = xs_

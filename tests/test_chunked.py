@@ -158,3 +158,23 @@ def test_optimize_gate_chunked_rejects_lbfgs_method():
         qgd_tpu.optimize_gate(
             prob, controls, pcof, tgt, order=2, maxIter=2, method="lbfgs",
             n_segments=8, max_dispatch_steps=16, print_level=0)
+
+
+def test_chunked_sharded_matches_single():
+    """mesh= : every chunk dispatch under shard_map with ic columns split
+    over the mesh; values equal the single-device chunked path to
+    summation roundoff (VERDICT r4 #7)."""
+    from qgd_tpu.parallel import make_mesh
+
+    prob, controls, pcof, tgt = _case(48)
+    (j1_1, g_1, r_1), grad_1 = chunked_objective_and_gradient(
+        prob, controls, pcof, tgt, 4, n_segments=6, segments_per_chunk=3,
+        ridge_penalty_strength=1e-2)
+    mesh = make_mesh(1, 4)
+    (j1_m, g_m, r_m), grad_m = chunked_objective_and_gradient(
+        prob, controls, pcof, tgt, 4, n_segments=6, segments_per_chunk=3,
+        ridge_penalty_strength=1e-2, mesh=mesh)
+    assert abs(j1_m - j1_1) < 1e-13
+    assert abs(g_m - g_1) < 1e-13
+    np.testing.assert_allclose(np.asarray(grad_m), np.asarray(grad_1),
+                               rtol=1e-11, atol=1e-13)

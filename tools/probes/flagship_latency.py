@@ -26,9 +26,15 @@ import qgd_tpu
 nsteps = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() \
     else 30720
 use_plain = "--plain" in sys.argv
+use_prefix = "--prefix" in sys.argv
+warm = next((int(a.split("=")[1]) for a in sys.argv
+             if a.startswith("--warm=")), -1)
+n_seg = next((int(a.split("=")[1]) for a in sys.argv
+              if a.startswith("--segments=")), 0)
 
 prob = qgd_tpu.models.cnot3_problem(tf=550.0, nsteps=nsteps)
-prob = dataclasses.replace(prob, solver="schulz", dtype="float32")
+prob = dataclasses.replace(prob, solver="schulz", dtype="float32",
+                           schulz_warm_budget=warm)
 controls = tuple(qgd_tpu.CarrierControl(qgd_tpu.BSpline2Control(10, 550.0), f)
                  for f in qgd_tpu.models.cnot3_carrier_frequencies())
 tgt = qgd_tpu.models.cnot3_target()
@@ -38,12 +44,16 @@ pcof = jnp.asarray(rng.uniform(-0.002, 0.002, 180))
 if use_plain:
     from qgd_tpu.adjoint import objective_and_gradient as oag
     fn = lambda pc: oag(prob, controls, pc, tgt, 4)
+elif use_prefix:
+    from qgd_tpu.prefix import prefix_objective_and_gradient as poag
+    fn = lambda pc: poag(prob, controls, pc, tgt, 4, n_segments=n_seg)
 else:
     from qgd_tpu.segmented import segmented_objective_and_gradient as soag
     fn = lambda pc: soag(prob, controls, pc, tgt, 4)
 
+route = "plain" if use_plain else ("prefix" if use_prefix else "segmented")
 print(f"backend={jax.default_backend()} nsteps={nsteps} "
-      f"route={'plain' if use_plain else 'segmented'}", flush=True)
+      f"route={route} warm={warm} n_seg={n_seg}", flush=True)
 t0 = time.time()
 out = fn(pcof)
 jax.block_until_ready(out)
