@@ -66,9 +66,22 @@ ORDER = 4
 #     warm  8 (schulz_iters 48) : 69,911 (70.8x)  <- production config
 #     scenarios=64: does not compile (12.6 GB hoisted stage tensors vs
 #     16 GB HBM) — S=32 is the chip's batch ceiling for this program.
-SCENARIOS = 32
+#   2026-08-21 (round-5 sweep; stage residual guard <= 1e-7 throughout):
+#     plain S=32, warm budget 1               :  94,077
+#     plain S=32, warm budget 0 + 3 refines   :  98,237
+#     segmented route S=64, warm 1            :  89,659
+#     segmented route S=128, warm 0 + 3 ref   : 100,208 (101.5x) <- production
+#   Per-step inverse construction is GONE at warm 0: every stage is solved
+#   by refinement sweeps preconditioned with the single drift-only inverse
+#   (contraction O(dt*amp) per sweep, measured 1.4e-2 at this dt; 3 sweeps
+#   -> residual 9.9e-8). The segmented route hoists O(L)-per-segment stage
+#   tensors, lifting the scenario ceiling from 32 (plain-route HBM cap) to
+#   128+.
+SCENARIOS = 128
 SCHULZ_ITERS = 48
-WARM_BUDGET = -1   # -1 = derived (schulz_warm_iters); 0 = drift-only mode
+WARM_BUDGET = 0    # -1 = derived (schulz_warm_iters); 0 = drift-only mode
+ROUTE = "segmented"
+REFINE_SWEEPS = 3  # QGD_REFINE_SWEEPS_F32 for warm 0 at dt=0.55 (see above)
 WORK_DTYPE = "float32"
 TPU_DEADLINE_S = 1500
 
@@ -117,6 +130,9 @@ def flops_model(order: int, n2: int, n_ic: int, schulz_warm_iters: int,
 def measure():
     """Worker: compile + time the benchmark on the current backend; prints
     an intermediate JSON line with the raw steps/sec."""
+    # must precede the qgd_tpu import (linalg resolves it at import time)
+    os.environ.setdefault("QGD_REFINE_SWEEPS_F32", str(REFINE_SWEEPS))
+
     import dataclasses
 
     import jax
@@ -166,7 +182,11 @@ def measure():
     # production path; S=32 is its HBM ceiling at 16 GB); "segmented"
     # hoists O(L)-per-segment tensors (qgd_tpu/segmented.py), which is what
     # lifts the scenario ceiling past 32 (VERDICT r4 weak #3).
-    route = os.environ.get("QGD_BENCH_ROUTE", "plain")
+    # default route is backend-dependent: segmented pays a re-forward for
+    # its O(L) hoists — a good trade on TPU (lifts the scenario ceiling),
+    # pure cost on the single-scenario CPU fallback
+    route = os.environ.get("QGD_BENCH_ROUTE",
+                           ROUTE if backend in ("tpu", "axon") else "plain")
     n_segments = int(os.environ.get("QGD_BENCH_SEGMENTS", "0"))
     if route == "segmented":
         from qgd_tpu.segmented import segmented_objective_and_gradient
@@ -226,6 +246,7 @@ def measure():
         achieved = per_step * NSTEPS * scenarios / elapsed
         rec["model_tflops"] = round(achieved / 1e12, 2)
         rec["mfu_vs_bf16_peak"] = round(achieved / V5E_BF16_PEAK_FLOPS, 4)
+        rec["refine_sweeps_f32"] = REFINE_SWEEPS_F32
         # the residual guard that justifies the Schulz budget: solve
         # quality at the benchmarked iteration count (state-aware probes)
         from qgd_tpu.diagnostics import stage_residuals
@@ -287,8 +308,12 @@ def _tpu_tunnel_healthy(timeout=120) -> bool:
 
 def main():
     result = None
-    # the 32-scenario f32 hoisted stage tensors need ~6 GB > default cap
-    hoist = {"QGD_HOIST_CAP_BYTES": "9000000000"}
+    # plain-route sweeps need the raised hoist cap; the refine-sweep count
+    # pairs with the warm-0 drift-preconditioned default (resolved at
+    # qgd_tpu import inside the worker, so it must come through the env)
+    hoist = {"QGD_HOIST_CAP_BYTES": "9000000000",
+             "QGD_REFINE_SWEEPS_F32": os.environ.get(
+                 "QGD_REFINE_SWEEPS_F32", str(REFINE_SWEEPS))}
     budget = float(os.environ.get("QGD_BENCH_BUDGET_S", "10800"))
     deadline = time.time() + budget
     attempt = 0
@@ -330,7 +355,8 @@ def main():
     # extras; the worker emits them only on TPU backends (the model is the
     # TPU path's), so CPU-fallback records carry none of them.
     for k in ("model_tflops", "mfu_vs_bf16_peak", "stage_residual_max",
-              "schulz_iters", "schulz_warm_budget", "scenarios", "route"):
+              "schulz_iters", "schulz_warm_budget", "refine_sweeps_f32",
+              "scenarios", "route"):
         if k in result:
             rec[k] = result[k]
     print(json.dumps(rec))

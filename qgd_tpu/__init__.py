@@ -113,6 +113,10 @@ from .segmented import (  # noqa: E402
     choose_segments,
 )
 from .chunked import chunked_objective_and_gradient  # noqa: E402
+from .prefix import (  # noqa: E402
+    prefix_objective_and_gradient,
+    eval_forward_prefix,
+)
 from .diagnostics import stage_residuals  # noqa: E402
 from .checkpoint import (  # noqa: E402
     save_setup,
@@ -221,6 +225,8 @@ __all__ = [
     "segmented_objective_and_gradient",
     "segmented_gradient",
     "chunked_objective_and_gradient",
+    "prefix_objective_and_gradient",
+    "eval_forward_prefix",
     "choose_segments",
     "stage_residuals",
     "save_setup",
