@@ -107,16 +107,20 @@ def flops_model(order: int, n2: int, n_ic: int, schulz_warm_iters: int,
       RHS+LHS from one shared recursion -> 2 * m(m+1)/2 matmuls.
     * Newton-Schulz stage inverses: forward LHS + transposed LHS each run
       `schulz_warm_iters` iterations of 2 matmuls plus 1 guard-residual
-      matmul -> 2 * (2*iters + 1) matmuls (~85% of all FLOPs; the
-      construction runs single-pass bf16, the rest "highest").
+      matmul -> 2 * (2*iters + 1) matmuls (at the pre-round-5 warm budget
+      of 8 this was ~85% of all FLOPs; at the round-5 production budget 0
+      only the guard matmuls remain — per-step inverse construction is
+      deleted and the drift-preconditioned refinement sweeps below do the
+      solving).
     * state-side matvec batches (derivative recursion on w, X@rhs solves,
       refinement sweeps, lambda sweep, cotangent transposes):
       ~ 4*m(m+1)/2 + 6 + 4*refine_sweeps matvecs — ~2% of the total at
       (n2, n_ic) = (128, 8); included for honesty, not significance.
 
-    This is a transparent lower-bound model (weighted sums, table VJPs and
-    reductions are ignored); its purpose is making MFU regressions visible
-    in BENCH records, not accounting exactness.
+    This is a transparent lower-bound model (weighted sums, table VJPs,
+    reductions, and the segmented route's re-forward sweep are ignored);
+    its purpose is making MFU regressions visible in BENCH records, not
+    accounting exactness.
     """
     m = order // 2
     matmul = 2.0 * n2 ** 3

@@ -311,7 +311,9 @@ def optimize_gate_multistart(prob, controls, pcofs_init, target, *,
                              cost_type: str = "Infidelity",
                              ls_max_steps: int = 25,
                              ls_decrease_factor: float = 0.5,
-                             ls_increase_factor: float = 1.5):
+                             ls_increase_factor: float = 1.5,
+                             gradient_route: str = "plain",
+                             n_segments: int = 0):
     """Batched multi-start optimization: vmapped on-device L-BFGS over a
     batch of initial control vectors ``pcofs_init (S, n)``.
 
@@ -348,16 +350,43 @@ def optimize_gate_multistart(prob, controls, pcofs_init, target, *,
     lo = -jnp.inf if pcof_L is None else jnp.asarray(pcof_L)
     hi = jnp.inf if pcof_U is None else jnp.asarray(pcof_U)
 
-    from .adjoint import objective_and_gradient
-    from .objective import objective_value
+    # ``gradient_route="segmented"``: the O(sqrt T)-memory adjoint with
+    # per-segment hoisting — REQUIRED at flagship horizons under a
+    # scenario vmap (the plain path's O(S*T) hoisted stage tensors exceed
+    # HBM and its in-scan fallback is far slower).
+    if gradient_route == "segmented":
+        from .segmented import (segmented_objective_and_gradient,
+                                segmented_objective_value)
 
-    def value_fn(pc):
-        # Probe evaluations are VALUE-ONLY (one forward sweep, no adjoint):
-        # round 4 paid a full objective+gradient per Armijo probe — up to
-        # 15x the necessary linesearch cost per iteration.
-        return objective_value(prob, controls, pc, target, order,
-                               ridge_penalty_strength=ridge_penalty_strength,
-                               cost_type=cost_type)
+        def oag(pc):
+            return segmented_objective_and_gradient(
+                prob, controls, pc, target, order, cost_type=cost_type,
+                ridge_penalty_strength=ridge_penalty_strength,
+                n_segments=n_segments)
+
+        def value_fn(pc):
+            return segmented_objective_value(
+                prob, controls, pc, target, order, cost_type=cost_type,
+                ridge_penalty_strength=ridge_penalty_strength,
+                n_segments=n_segments)
+    else:
+        from .adjoint import objective_and_gradient
+        from .objective import objective_value
+
+        def oag(pc):
+            return objective_and_gradient(
+                prob, controls, pc, target, order, cost_type=cost_type,
+                ridge_penalty_strength=ridge_penalty_strength)
+
+        def value_fn(pc):
+            # Probe evaluations are VALUE-ONLY (one forward sweep, no
+            # adjoint): round 4 paid a full objective+gradient per Armijo
+            # probe — up to 15x the necessary linesearch cost per
+            # iteration.
+            return objective_value(
+                prob, controls, pc, target, order,
+                ridge_penalty_strength=ridge_penalty_strength,
+                cost_type=cost_type)
 
     # Round-4's defaults (15 steps x 0.8) could only shrink the step to
     # 0.8^15 = 3.5% of the trial — far too coarse for this objective's
@@ -374,9 +403,7 @@ def optimize_gate_multistart(prob, controls, pcofs_init, target, *,
             store_grad=False))
 
     def one_step(pc, st):
-        (j1, guard, ridge), grad = objective_and_gradient(
-            prob, controls, pc, target, order, cost_type=cost_type,
-            ridge_penalty_strength=ridge_penalty_strength)
+        (j1, guard, ridge), grad = oag(pc)
         val = j1 + guard + ridge
         updates, st = opt.update(grad, st, pc, value=val, grad=grad,
                                  value_fn=value_fn)

@@ -46,6 +46,7 @@ from .problem import working_problem
 from .objective import (
     with_host_target,
     _realify_target,
+    terminal_cost,
     terminal_cost_and_grad,
 )
 from .ops.hermite import (
@@ -355,26 +356,9 @@ def segmented_objective_and_gradient(prob, controls, pcof, target,
     tau_seg = tau[:-1].reshape(S, L)          # weights for indices kL..kL+L-1
 
     # ---------------- forward pass: snapshots + guard accumulation --------
-    def fwd_body(carry, xs):
-        w, guard_acc = carry
-        pl_, ql_, pr_, qr_, tau_k = xs
-        hist = _forward_segment_scan(wprob, m, dt, pl_, ql_, pr_, qr_,
-                                     w, mode, precond=precond,
-                                     schulz_X0=schulz_X0)
-        guard_acc = guard_acc + _guard_quad(prob, hist[:-1], tau_k)
-        return (hist[-1], guard_acc), w       # emit segment-start snapshot
-
-    w0 = wprob.w0
-    (w_final, guard_sum), snapshots = jax.lax.scan(
-        fwd_body, (w0, jnp.zeros((), dtype=jnp.float64)),
-        (Pl, Ql, Pr, Qr, tau_seg))
-
-    guard_sum = guard_sum + tau[-1] * _guard_quad(
-        prob, w_final[None].astype(jnp.float64),
-        jnp.ones((1,), dtype=jnp.float64))
-    guard = guard_sum * dt64 / prob.tf
-    if ic_axis is not None:
-        guard = jax.lax.psum(guard, ic_axis)
+    w_final, guard, snapshots = _forward_objective_pass(
+        prob, wprob, m, dt, dt64, tau, Pl, Ql, Pr, Qr, tau_seg, mode,
+        precond, schulz_X0, ic_axis)
 
     w_final64 = w_final.astype(jnp.float64)
     j1, dj1 = terminal_cost_and_grad(w_final64, target_real,
@@ -460,3 +444,84 @@ def segmented_gradient(prob, controls, pcof, target, order: int = 4,
         prob, controls, pcof, target, order, cost_type=cost_type,
         n_segments=n_segments)
     return grad
+
+def _forward_objective_pass(prob, wprob, m, dt, dt64, tau, Pl, Ql, Pr, Qr,
+                            tau_seg, mode, precond, schulz_X0, ic_axis):
+    """Segment-scan forward pass shared by the objective+gradient and the
+    value-only entries: returns ``(w_final, guard, snapshots)``."""
+
+    def fwd_body(carry, xs):
+        w, guard_acc = carry
+        pl_, ql_, pr_, qr_, tau_k = xs
+        hist = _forward_segment_scan(wprob, m, dt, pl_, ql_, pr_, qr_,
+                                     w, mode, precond=precond,
+                                     schulz_X0=schulz_X0)
+        guard_acc = guard_acc + _guard_quad(prob, hist[:-1], tau_k)
+        return (hist[-1], guard_acc), w       # emit segment-start snapshot
+
+    w0 = wprob.w0
+    (w_final, guard_sum), snapshots = jax.lax.scan(
+        fwd_body, (w0, jnp.zeros((), dtype=jnp.float64)),
+        (Pl, Ql, Pr, Qr, tau_seg))
+
+    guard_sum = guard_sum + tau[-1] * _guard_quad(
+        prob, w_final[None].astype(jnp.float64),
+        jnp.ones((1,), dtype=jnp.float64))
+    guard = guard_sum * dt64 / prob.tf
+    if ic_axis is not None:
+        guard = jax.lax.psum(guard, ic_axis)
+    return w_final, guard, snapshots
+
+
+@with_host_target(3)
+@partial(jax.jit, static_argnames=("order", "cost_type",
+                                  "ridge_penalty_strength", "n_segments"))
+def segmented_objective_value(prob, controls, pcof, target, order: int = 4,
+                              cost_type: str = "Infidelity",
+                              ridge_penalty_strength: float = 0.0,
+                              n_segments: int = 0):
+    """VALUE-ONLY segmented objective (one forward pass, O(sqrt T) memory,
+    no adjoint work) — the line-search probe evaluation for long-horizon
+    on-device optimization (optimize_gate_multistart route="segmented")."""
+    controls = as_control_tuple(controls)
+    pcof = jnp.asarray(pcof, dtype=jnp.float64)
+    target_real = _realify_target(prob, target)
+
+    T = prob.nsteps
+    S = n_segments if n_segments > 0 else choose_segments(T)
+    if T % S:
+        raise ValueError(f"n_segments={S} must divide nsteps={T}")
+    L = T // S
+    m = order // 2
+
+    dt64, ts = _time_grid(prob)
+    P, Q = control_tables(controls, pcof, ts, m)
+    wd = prob.work_dtype
+    wprob = working_problem(prob)
+    Pw, Qw, dt = P.astype(wd), Q.astype(wd), dt64.astype(wd)
+    mode = _segment_mode(wprob)
+    precond = _make_preconditioner(wprob, dt, order)
+    if mode == "schulz":
+        from .forward import _drift_stage_inverse
+
+        schulz_X0 = _drift_stage_inverse(wprob, m, dt)
+    else:
+        schulz_X0 = None
+
+    tau = jnp.ones(T + 1, dtype=jnp.float64).at[0].set(0.5).at[-1].set(0.5)
+
+    def seg_tables(arr):
+        return (arr[:-1].reshape(S, L, *arr.shape[1:]),
+                arr[1:].reshape(S, L, *arr.shape[1:]))
+
+    Pl, Pr = seg_tables(Pw)
+    Ql, Qr = seg_tables(Qw)
+    tau_seg = tau[:-1].reshape(S, L)
+
+    w_final, guard, _ = _forward_objective_pass(
+        prob, wprob, m, dt, dt64, tau, Pl, Ql, Pr, Qr, tau_seg, mode,
+        precond, schulz_X0, None)
+    j1 = terminal_cost(w_final.astype(jnp.float64), target_real,
+                       prob.N_ess_levels, cost_type)
+    ridge = ridge_penalty_strength * jnp.vdot(pcof, pcof) / pcof.shape[0]
+    return j1 + guard + ridge
