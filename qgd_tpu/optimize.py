@@ -369,6 +369,24 @@ def optimize_gate_multistart(prob, controls, pcofs_init, target, *,
                 prob, controls, pc, target, order, cost_type=cost_type,
                 ridge_penalty_strength=ridge_penalty_strength,
                 n_segments=n_segments)
+    elif gradient_route == "prefix":
+        # log-depth propagation (qgd_tpu/prefix.py): the cheapest route
+        # per linesearch PROBE on TPU — probes are value-only forward
+        # passes whose serial floor the prefix products remove.
+        from .prefix import (prefix_objective_and_gradient,
+                             prefix_objective_value)
+
+        def oag(pc):
+            return prefix_objective_and_gradient(
+                prob, controls, pc, target, order, cost_type=cost_type,
+                ridge_penalty_strength=ridge_penalty_strength,
+                n_segments=n_segments)
+
+        def value_fn(pc):
+            return prefix_objective_value(
+                prob, controls, pc, target, order, cost_type=cost_type,
+                ridge_penalty_strength=ridge_penalty_strength,
+                n_segments=n_segments)
     else:
         from .adjoint import objective_and_gradient
         from .objective import objective_value

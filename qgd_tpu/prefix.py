@@ -306,6 +306,72 @@ def prefix_objective_and_gradient(prob, controls, pcof, target,
     return (j1, guard, ridge), grad
 
 
+@with_host_target(3)
+@partial(jax.jit, static_argnames=("order", "cost_type",
+                                   "ridge_penalty_strength", "n_segments"))
+def prefix_objective_value(prob, controls, pcof, target, order: int = 4,
+                           cost_type: str = "Infidelity",
+                           ridge_penalty_strength: float = 0.0,
+                           n_segments: int = 0):
+    """VALUE-ONLY objective via prefix-product propagation — the
+    line-search probe evaluation for latency-bound on-device optimization
+    (optimize_gate_multistart route="prefix")."""
+    from .objective import terminal_cost
+
+    controls = as_control_tuple(controls)
+    pcof = jnp.asarray(pcof, dtype=jnp.float64)
+    target_real = _realify_target(prob, target)
+
+    T = prob.nsteps
+    if n_segments > 0:
+        S = n_segments
+    else:
+        S = choose_segments(T, target_len=max(256, int(T ** 0.5)))
+    if T % S:
+        raise ValueError(f"n_segments={S} must divide nsteps={T}")
+    L = T // S
+    m = order // 2
+    dt64, ts = _time_grid(prob)
+    P, Q = control_tables(controls, pcof, ts, m)
+    wd = prob.work_dtype
+    wprob = working_problem(prob)
+    Pw, Qw, dt = P.astype(wd), Q.astype(wd), dt64.astype(wd)
+    X_drift = (_drift_stage_inverse(wprob, m, dt)
+               if wd == jnp.float32 else None)
+
+    tau = jnp.ones(T + 1, dtype=jnp.float64).at[0].set(0.5).at[-1].set(0.5)
+
+    def seg_tables(arr):
+        return (arr[:-1].reshape(S, L, *arr.shape[1:]),
+                arr[1:].reshape(S, L, *arr.shape[1:]))
+
+    Pl, Pr = seg_tables(Pw)
+    Ql, Qr = seg_tables(Qw)
+    tau_seg = tau[:-1].reshape(S, L)
+
+    def fwd_body(carry, xs):
+        w, guard_acc = carry
+        pl_, ql_, pr_, qr_, tau_k = xs
+        F_seg, _, _ = _segment_maps(wprob, m, dt, pl_, ql_, pr_, qr_,
+                                    X_drift, need_left=False)
+        hist = _prefix_states(F_seg, w)
+        guard_acc = guard_acc + _guard_quad(prob, hist[:-1], tau_k)
+        return (hist[-1], guard_acc), None
+
+    w0 = wprob.w0
+    (w_final, guard_sum), _ = lax.scan(
+        fwd_body, (w0, jnp.zeros((), dtype=jnp.float64)),
+        (Pl, Ql, Pr, Qr, tau_seg))
+    guard_sum = guard_sum + tau[-1] * _guard_quad(
+        prob, w_final[None].astype(jnp.float64),
+        jnp.ones((1,), dtype=jnp.float64))
+    guard = guard_sum * dt64 / prob.tf
+    j1 = terminal_cost(w_final.astype(jnp.float64), target_real,
+                       prob.N_ess_levels, cost_type)
+    ridge = ridge_penalty_strength * jnp.vdot(pcof, pcof) / pcof.shape[0]
+    return j1 + guard + ridge
+
+
 @partial(jax.jit, static_argnames=("order", "n_segments"))
 def eval_forward_prefix(prob, controls, pcof, order: int = 4,
                         n_segments: int = 0):
