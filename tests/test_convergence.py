@@ -75,6 +75,14 @@ PARAMS = [
     ("rand_spline_carrier", 2, 64), ("rand_spline_carrier", 4, 32),
     ("rand_spline_carrier", 6, 16),
     ("rabi_spline8", 8, 24),
+    # order 12 (reference exercises 8-12 with CONSTANT controls,
+    # forward_convergence.jl:99-109, because spline envelopes are
+    # pre-asymptotic at reachable grids — measured here too: degree-16
+    # spline slopes 9.1/10.2 rising toward 12 at base 16). Constant
+    # control at base 4 (coarsest pair is pre-asymptotic at this pcof's
+    # amplitude — dt*omega ~ 2.9 — so it is dropped; measured errors
+    # 5.5e-5 -> 4.8e-8 -> 1.6e-11, slopes 10.16 -> 11.58).
+    ("rabi_const_hi", 12, 4),
 ]
 
 # At order 8 with a non-constant spline the coarsest refinement pair is
@@ -82,7 +90,25 @@ PARAMS = [
 # leading pair and refine once more — standard Richardson practice, and the
 # reason the reference restricts orders 8-12 to constant controls
 # (forward_convergence.jl:158-163).
-_DEEP_CASES = {("rabi_spline8", 8): dict(n_refine=5, skip_first=1)}
+_DEEP_CASES = {("rabi_spline8", 8): dict(n_refine=5, skip_first=1),
+               ("rabi_const_hi", 12): dict(n_refine=4, skip_first=1)}
+
+
+def test_order12_smooth_spline_superconvergence():
+    """Order 12 with a NON-constant (degree-16, C^15) spline: the scheme
+    is pre-asymptotic at reachable grids (machine precision arrives before
+    the 12th-order term dominates — the same reason the reference limits
+    orders 8-12 to constant controls, forward_convergence.jl:158-163).
+    Assert the honest property: error decays at >= 9th order and reaches
+    1e-11-class by the third refinement (measured slopes 9.06 -> 10.19,
+    rising toward 12)."""
+    prob = CASES["rabi_const_hi"][0]
+    ctrl = [FortranBSplineControl(16, 20, float(prob.tf))]
+    rng2 = np.random.default_rng(5)
+    pcof = jnp.asarray(rng2.standard_normal(ctrl[0].N_coeff) * 0.5 + 0.3)
+    errs, slopes = _order_slope(prob, ctrl, pcof, 12, 16, n_refine=4)
+    assert errs[-1] < 5e-11, errs
+    assert np.mean(slopes) > 9.0, slopes
 
 
 @pytest.mark.parametrize("case,order,base", PARAMS)

@@ -53,7 +53,7 @@ def _setups():
 SETUPS = _setups()
 
 
-@pytest.mark.parametrize("order", [2, 4, 6, 8, 10])
+@pytest.mark.parametrize("order", [2, 4, 6, 8, 10, 12])
 @pytest.mark.parametrize("case", [s[0] for s in SETUPS])
 def test_adjoint_vs_forced_exact(case, order):
     name, prob, controls, pcof, target = next(s for s in SETUPS

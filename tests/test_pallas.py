@@ -16,7 +16,7 @@ from qgd_tpu.ops.pallas_step import (
 )
 
 
-@pytest.mark.parametrize("m", [1, 2, 3])
+@pytest.mark.parametrize("m", [1, 2, 3, 6])
 def test_rhs_kernel_matches_reference(m):
     rng = np.random.default_rng(0)
     B, n, b = 3, 16, 4
@@ -31,7 +31,7 @@ def test_rhs_kernel_matches_reference(m):
         np.testing.assert_allclose(out[k], expect, rtol=2e-6, atol=2e-6)
 
 
-@pytest.mark.parametrize("m", [1, 2, 3])
+@pytest.mark.parametrize("m", [1, 2, 3, 6])
 def test_lhs_kernel_matches_reference(m):
     rng = np.random.default_rng(1)
     B, n = 2, 16
