@@ -121,6 +121,7 @@ def optimize_gate(prob, controls, pcof_init, target, *, order: int = 4,
                   cost_type: str = "Infidelity",
                   n_segments: int | None = None,
                   max_dispatch_steps: int = 0,
+                  gradient_route: str = "auto",
                   resume_from: str | None = None) -> OptimizationHistory:
     """Optimize the control vector (reference ``optimize_gate``,
     src/ipopt_optimal_control.jl:187-471).
@@ -170,6 +171,7 @@ def optimize_gate(prob, controls, pcof_init, target, *, order: int = 4,
                    max_cpu_time=max_cpu_time, stop_objective=stop_objective,
                    tol=tol, lbfgs_history=lbfgs_history, method=method,
                    print_level=print_level,
+                   gradient_route=gradient_route,
                    # Routing flags must survive into resume_optimization:
                    # resuming a long-horizon run without max_dispatch_steps
                    # would re-enter exactly the >300 s single-dispatch
@@ -208,7 +210,18 @@ def optimize_gate(prob, controls, pcof_init, target, *, order: int = 4,
         def value_parts_and_grad(pc):
             # Objective and gradient share one forward solve explicitly (the
             # role of the reference's pcof-keyed memoization tracker).
-            if n_segments == 0:
+            if gradient_route == "prefix":
+                # log-depth associative-scan propagation (qgd_tpu/prefix.py)
+                # — the single-run latency route; on remote-TPU backends its
+                # matrix-product f32 rounding also avoids the serial-solve
+                # phase-bias of the scan routes (CLAUDE.md round-5 table)
+                from .prefix import prefix_objective_and_gradient
+
+                (j1, guard, ridge), grad = prefix_objective_and_gradient(
+                    prob, controls, pc, target, order, cost_type=cost_type,
+                    ridge_penalty_strength=ridge_penalty_strength,
+                    n_segments=max(n_segments or 0, 0))
+            elif n_segments == 0:
                 (j1, guard, ridge), grad = objective_and_gradient(
                     prob, controls, pc, target, order, cost_type=cost_type,
                     ridge_penalty_strength=ridge_penalty_strength)

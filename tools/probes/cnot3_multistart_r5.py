@@ -42,6 +42,8 @@ ap.add_argument("--iters", type=int, default=150)
 ap.add_argument("--tag", default="ms_r5")
 ap.add_argument("--warm", type=int, default=0)
 ap.add_argument("--ls-max", type=int, default=15)
+ap.add_argument("--route", default="segmented",
+                choices=["segmented", "prefix", "plain"])
 args = ap.parse_args()
 
 root = os.path.join(os.path.dirname(__file__), "..", "..")
@@ -102,7 +104,7 @@ def run():
         order=4, maxIter=args.iters,
         pcof_L=-amax, pcof_U=amax,
         ridge_penalty_strength=1e-2,
-        gradient_route="segmented",
+        gradient_route=args.route,
         ls_max_steps=args.ls_max,
         print_level=5)
     return pcofs, objs
@@ -120,6 +122,7 @@ summary = {
     "total_wall_s": round(total, 1),
     "per_iter_wall_s": round(per_iter, 2),
     "warm_budget": args.warm,
+    "route": args.route,
     "final_objs": [float(x) for x in objs[-1]],
     "best_obj": float(np.min(objs)),
     "n_below_1p3em2": int(np.sum(np.asarray(objs[-1]) <= 1.3e-2)),
