@@ -44,6 +44,12 @@ def main(argv=None):
                         "and the optimization stalls near infidelity 0.75)")
     p.add_argument("--dtype", default=None,
                    help="propagation dtype override (float32 TPU mode)")
+    p.add_argument("--gradient-route", default="auto",
+                   help="evaluation route: auto (plain/segmented by "
+                        "horizon) or prefix (log-depth associative-scan "
+                        "propagation — the single-run latency route, and "
+                        "the lowest-f32-bias route on remote TPU backends; "
+                        "see docs/performance_tpu.md)")
     p.add_argument("--lab-frame-target", action="store_true",
                    help="skip the rotating-frame transform of the target "
                         "(the round-2 mistake, kept for comparison: the "
@@ -96,6 +102,7 @@ def main(argv=None):
         pcof_L=-args.amp_bound, pcof_U=args.amp_bound,
         maxIter=args.max_iter, max_cpu_time=args.max_cpu_time,
         ridge_penalty_strength=args.ridge,
+        gradient_route=args.gradient_route,
         filename=args.output, print_level=5)
     print(hist.summary())
     return 0
