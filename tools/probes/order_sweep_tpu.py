@@ -30,11 +30,14 @@ import qgd_tpu
 from qgd_tpu.segmented import segmented_objective_and_gradient
 from qgd_tpu.forward import eval_forward
 
-CONFIGS = [   # (order, nsteps) — the CPU sweep's grid
-    (4, 30_720), (4, 307_200),
-    (6, 982), (6, 5_500),
-    (8, 550), (8, 1_719),
-    (10, 423), (10, 982),
+CONFIGS = [   # (order, nsteps, chunked) — the CPU sweep's grid.
+    # nsteps >= ~1e5 f32 single-dispatch gradients exceed the ~300 s
+    # worker watchdog (CLAUDE.md rule 8; the unchunked 307.2k gradient
+    # CRASHED the worker when first probed) -> chunked dispatches.
+    (4, 30_720, False), (4, 307_200, True),
+    (6, 982, False), (6, 5_500, False),
+    (8, 550, False), (8, 1_719, False),
+    (10, 423, False), (10, 982, False),
 ]
 
 root = os.path.join(os.path.dirname(__file__), "..", "..")
@@ -47,7 +50,7 @@ controls = tuple(qgd_tpu.CarrierControl(qgd_tpu.BSpline2Control(10, 550.0), f)
 
 print(f"backend={jax.default_backend()}", flush=True)
 rows = []
-for order, nsteps in CONFIGS:
+for order, nsteps, chunked in CONFIGS:
     prob = qgd_tpu.models.cnot3_problem(tf=550.0, nsteps=nsteps)
     prob = dataclasses.replace(prob, solver="schulz", dtype="float32",
                                schulz_warm_budget=0)
@@ -59,10 +62,19 @@ for order, nsteps in CONFIGS:
         hist = eval_forward(prob, controls, pcof, order, save_every=se)
         return float(hist[-1][0, 0])          # fetch = sync
 
-    def grad():
-        (j1, g, _), gr = segmented_objective_and_gradient(
-            prob, controls, pcof, tgt, order)
-        return float(j1), float(g), float(jnp.linalg.norm(gr))
+    if chunked:
+        from qgd_tpu.chunked import chunked_objective_and_gradient
+
+        def grad():
+            (j1, g, _), gr = chunked_objective_and_gradient(
+                prob, controls, pcof, tgt, order,
+                max_dispatch_steps=30_720)
+            return float(j1), float(g), float(jnp.linalg.norm(gr))
+    else:
+        def grad():
+            (j1, g, _), gr = segmented_objective_and_gradient(
+                prob, controls, pcof, tgt, order)
+            return float(j1), float(g), float(jnp.linalg.norm(gr))
 
     t0 = time.perf_counter(); fwd()
     fwd_cold = time.perf_counter() - t0
@@ -73,6 +85,7 @@ for order, nsteps in CONFIGS:
     t0 = time.perf_counter(); grad()
     grad_warm = time.perf_counter() - t0
     row = dict(order=order, nsteps=nsteps, dt=550.0 / nsteps,
+               chunked=chunked,
                fwd_wall_s=round(fwd_warm, 3),
                grad_wall_s=round(grad_warm, 3),
                fwd_compile_s=round(fwd_cold, 1),
