@@ -37,3 +37,22 @@ def _bound_compiled_program_accumulation():
     """
     yield
     jax.clear_caches()
+
+
+@pytest.hookimpl(trylast=True)
+def pytest_sessionfinish(session, exitstatus):
+    """Hard-exit after the terminal summary: the XLA:CPU executable-
+    accumulation crash (see _bound_compiled_program_accumulation above)
+    moved from mid-suite (round 4, ~test 177) to INTERPRETER EXIT once the
+    per-module cache clearing bounded live executables — with 216 tests the
+    suite now completes 100% of its dots and then segfaults in XLA's
+    teardown, losing the summary line and corrupting the exit code.
+    ``os._exit`` preserves pytest's real exit status and skips the doomed
+    C++ destructor pass. (trylast => the terminal reporter has already
+    printed its summary.)"""
+    import os as _os
+    import sys as _sys
+
+    _sys.stdout.flush()
+    _sys.stderr.flush()
+    _os._exit(int(exitstatus))
