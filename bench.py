@@ -70,14 +70,15 @@ ORDER = 4
 #     plain S=32, warm budget 1               :  94,077
 #     plain S=32, warm budget 0 + 3 refines   :  98,237
 #     segmented route S=64, warm 1            :  89,659
-#     segmented route S=128, warm 0 + 3 ref   : 100,208 (101.5x) <- production
+#     segmented route S=128, warm 0 + 3 ref   : 100,208 (101.5x)
+#     segmented route S=256, warm 0 + 3 ref   : 103,043 (104.3x) <- production
 #   Per-step inverse construction is GONE at warm 0: every stage is solved
 #   by refinement sweeps preconditioned with the single drift-only inverse
 #   (contraction O(dt*amp) per sweep, measured 1.4e-2 at this dt; 3 sweeps
 #   -> residual 9.9e-8). The segmented route hoists O(L)-per-segment stage
 #   tensors, lifting the scenario ceiling from 32 (plain-route HBM cap) to
 #   128+.
-SCENARIOS = 128
+SCENARIOS = 256
 SCHULZ_ITERS = 48
 WARM_BUDGET = 0    # -1 = derived (schulz_warm_iters); 0 = drift-only mode
 ROUTE = "segmented"
