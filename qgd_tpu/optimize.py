@@ -138,7 +138,11 @@ def optimize_gate(prob, controls, pcof_init, target, *, order: int = 4,
     host-chunked driver (qgd_tpu/chunked.py) with at most that many
     Hermite steps per device execution — required on the axon TPU for
     horizons whose single-dispatch gradient would exceed the ~300 s
-    per-execution watchdog (CLAUDE.md rule 8).
+    per-execution watchdog (CLAUDE.md rule 8). ``gradient_route``:
+    ``"auto"`` (plain/segmented by horizon) or ``"prefix"`` (log-depth
+    associative-scan propagation, qgd_tpu/prefix.py — the single-run
+    latency route, and the lowest-f32-bias route on remote TPU
+    backends; see docs/performance_tpu.md).
     Returns the :class:`OptimizationHistory`.
     """
     controls = as_control_tuple(controls)
