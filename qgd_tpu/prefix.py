@@ -255,9 +255,17 @@ def prefix_objective_and_gradient(prob, controls, pcof, target,
     w_rhs = (c * dt64 ** jpow).astype(wd)
     w_lhs = (c * (-dt64) ** jpow).astype(wd)
 
-    table_cot, seg_table_cot = _make_seg_table_cot(wprob, m, L)
+    table_cot, _ = _make_seg_table_cot(wprob, m, L)
 
     # ---------------- backward over segments ------------------------------
+    # The segment scan emits the in-segment lambda and state arrays
+    # ((L, n, B) each — (T, n, B) total, ~126 MB f32 at the flagship
+    # point) instead of doing the control-table cotangent VJPs in-body:
+    # those VJPs are the latency floor when serialized per segment
+    # (measured: value-only prefix eval 0.18 s vs 6.52 s with the
+    # gradient — ~97% of the wall was this backward stage), and they are
+    # time-pointwise, so ONE globally-chunked pass after the scan does
+    # the identical arithmetic at a fraction of the dispatch count.
     def bwd_body(lam_b, xs):
         snap, pl_, ql_, pr_, qr_, tau_k, k_rev = xs
         F_seg, R_left, Xeff_left = _segment_maps(
@@ -275,26 +283,45 @@ def prefix_objective_and_gradient(prob, controls, pcof, target,
 
         first_scale = jnp.where(k_rev == S - 1, 0.0, 1.0)
         lam_seg = lam_seg.at[0].multiply(first_scale.astype(wd))
-
-        cot = (w_rhs[None, :, None, None] * lam_seg[1:, None]
-               - w_lhs[None, :, None, None] * lam_seg[:-1, None])
-        cotP_seg, cotQ_seg = seg_table_cot(pl_, ql_, hist[:-1], cot)
-        return lam_seg[0], (cotP_seg, cotQ_seg)
+        return lam_seg[0], (lam_seg[:-1], hist[:-1])
 
     rev = lambda a: a[::-1]
     k_rev_idx = jnp.arange(S)
-    lam0, (cotP_rev, cotQ_rev) = lax.scan(
+    lam0, (lam_rev, hist_rev) = lax.scan(
         bwd_body, lam_T,
         (rev(snapshots), rev(Pl), rev(Ql), rev(Pr), rev(Qr),
          rev(tau_seg), k_rev_idx))
 
+    n2 = prob.real_system_size
+    Bc = lam_T.shape[-1]
+    lam_all = jnp.concatenate(
+        [lam_rev[::-1].reshape(T, n2, Bc), lam_T[None]], axis=0)  # (T+1,n,B)
+    hist_all = hist_rev[::-1].reshape(T, n2, Bc)                  # (T, n, B)
+
+    # merged cotangents for indices 0..T-1 (cot_T handled separately)
+    cot = (w_rhs[None, :, None, None] * lam_all[1:, None]
+           - w_lhs[None, :, None, None] * lam_all[:-1, None])
+
+    # one chunked pass over ALL time points: the per-point VJP residuals
+    # ((m, 2N, 2N) assembly stacks) bound the chunk size in HBM
+    try:
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        on_tpu = False
+    chunk = 2048 if on_tpu else 4096
+    if T <= chunk:
+        cotP_all, cotQ_all = jax.vmap(table_cot)(Pw[:-1], Qw[:-1],
+                                                 hist_all, cot)
+    else:
+        cotP_all, cotQ_all = jax.lax.map(
+            lambda a: table_cot(*a), (Pw[:-1], Qw[:-1], hist_all, cot),
+            batch_size=chunk)
+
     cot_T = -w_lhs[:, None, None] * lam_T[None]
     cotPT, cotQT = table_cot(p_f.astype(wd), q_f.astype(wd), w_final, cot_T)
 
-    cotP = jnp.concatenate(
-        [cotP_rev[::-1].reshape(T, *cotPT.shape), cotPT[None]], axis=0)
-    cotQ = jnp.concatenate(
-        [cotQ_rev[::-1].reshape(T, *cotQT.shape), cotQT[None]], axis=0)
+    cotP = jnp.concatenate([cotP_all, cotPT[None]], axis=0)
+    cotQ = jnp.concatenate([cotQ_all, cotQT[None]], axis=0)
     _, vjp_tables = jax.vjp(
         lambda pc: control_tables(controls, pc, ts, m), pcof)
     (grad,) = vjp_tables((cotP.astype(jnp.float64),
