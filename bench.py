@@ -72,6 +72,7 @@ ORDER = 4
 #     segmented route S=64, warm 1            :  89,659
 #     segmented route S=128, warm 0 + 3 ref   : 100,208 (101.5x)
 #     segmented route S=256, warm 0 + 3 ref   : 103,043 (104.3x) <- production
+#     segmented route S=512, warm 0 + 3 ref   :  99,569 (past the sweet spot)
 #   Per-step inverse construction is GONE at warm 0: every stage is solved
 #   by refinement sweeps preconditioned with the single drift-only inverse
 #   (contraction O(dt*amp) per sweep, measured 1.4e-2 at this dt; 3 sweeps
