@@ -42,6 +42,18 @@ SCHULZ_PRECISION = os.environ.get("QGD_SCHULZ_PRECISION", "default")
 # collapses to one matmul) — the latency experiment knob.
 REFINE_SWEEPS_F32 = int(os.environ.get("QGD_REFINE_SWEEPS_F32", "2"))
 
+# Matmul precision of the PRECONDITIONER APPLICATIONS inside f32
+# refinement sweeps (``x += Xinv r``). The preconditioner only sets the
+# convergence RATE — the fixed point is pinned by the residual
+# ``b - M x``, which always runs at the session precision ("highest" on
+# TPU) — so these matmuls can take the single-pass-bf16 MXU path
+# ("default") instead of the ~6-pass "highest" decomposition. Measured
+# on-chip (round 5): contraction/sweep 1.4e-2 -> 1.6e-2 at bench dt and
+# the 3-sweep residual stays under the 1e-7 guard, for ~17% fewer
+# effective MXU passes per step. f64 right-hand sides never use this
+# (their sweeps target 1e-13-class residuals).
+PRECOND_PRECISION = os.environ.get("QGD_PRECOND_PRECISION", "default")
+
 
 def _needs_mixed_precision() -> bool:
     """True when the active backend lacks f64 LU (TPU / axon-tunneled TPU)."""
@@ -257,10 +269,18 @@ def inverse_stage_solve(M, Xinv, B, refine_iters: int | None = None):
         Mop = jnp.swapaxes(M, -1, -2) if trans else M
         Xop = jnp.swapaxes(Xinv, -1, -2) if trans else Xinv
         Xop = Xop.astype(bd)
-        x = Xop @ rhs
+        if bd == jnp.float32:
+            # Preconditioner applications set only the contraction rate
+            # (see PRECOND_PRECISION above); the residual matmul below
+            # stays at the session precision and pins the fixed point.
+            papply = lambda v: jnp.matmul(Xop, v,
+                                          precision=PRECOND_PRECISION)
+        else:
+            papply = lambda v: Xop @ v
+        x = papply(rhs)
         for _ in range(refine_iters):
             r = rhs - Mop @ x
-            x = x + Xop @ r
+            x = x + papply(r)
         return x
 
     return lax.custom_linear_solve(
