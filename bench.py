@@ -79,10 +79,28 @@ ORDER = 4
 #   -> residual 9.9e-8). The segmented route hoists O(L)-per-segment stage
 #   tensors, lifting the scenario ceiling from 32 (plain-route HBM cap) to
 #   128+.
+#   2026-08-21 later round-5 sweeps (same chip/server era, residual guard
+#   9.9e-8 <= 1e-7 at every point):
+#   (a) bf16 preconditioner-apply inside the refinement sweeps
+#       (QGD_PRECOND_PRECISION=default; the residual matmul that pins the
+#       fixed point stays "highest"): S=256 103,204 -> 107,449.
+#   (b) SEGMENT LENGTH, the big lever (QGD_BENCH_SEGMENTS, S=256):
+#         L=50: 105,329   L=20: 108,296   L=10: 121,131   L=5: 127,886
+#         L=4 : 137,058   L=2 : 193,072   L=1 : 292,338 (296x) <- production
+#       At L=1 the per-step stage matrices are built INSIDE the flat scan
+#       step and fused with the solves (never staged through HBM as
+#       (S,L,n,n) hoists), and the inner/outer scan nesting disappears;
+#       backward stores only the (S,T,n,ic) boundary states (~1 GB).
+#       Verified route-invariant: objective/grad equal to the plain path
+#       to 3.5e-13 (CPU f64) and across L on-chip to f32 roundoff.
+#       Scenario re-sweep at L=1: S=128 263,662; S=256 292,338;
+#       S=512 243,004 — S=256 stays optimal. Precond attribution at L=1:
+#       "highest" precond = 270,997, bf16 precond = 292,338 (+7.9%).
 SCENARIOS = 256
 SCHULZ_ITERS = 48
 WARM_BUDGET = 0    # -1 = derived (schulz_warm_iters); 0 = drift-only mode
 ROUTE = "segmented"
+SEGMENTS = NSTEPS  # L=1: per-step builds fused into the scan (see sweep)
 REFINE_SWEEPS = 3  # QGD_REFINE_SWEEPS_F32 for warm 0 at dt=0.55 (see above)
 WORK_DTYPE = "float32"
 TPU_DEADLINE_S = 1500
@@ -193,7 +211,10 @@ def measure():
     # pure cost on the single-scenario CPU fallback
     route = os.environ.get("QGD_BENCH_ROUTE",
                            ROUTE if backend in ("tpu", "axon") else "plain")
-    n_segments = int(os.environ.get("QGD_BENCH_SEGMENTS", "0"))
+    # Default L=1 (n_segments = nsteps): stage builds fuse into the flat
+    # propagation scan instead of staging (S, L, n, n) hoists through HBM
+    # — the round-5 segment-length sweep's optimum (see table above).
+    n_segments = int(os.environ.get("QGD_BENCH_SEGMENTS", str(SEGMENTS)))
     if route == "segmented":
         from qgd_tpu.segmented import segmented_objective_and_gradient
 
