@@ -100,7 +100,12 @@ SCENARIOS = 256
 SCHULZ_ITERS = 48
 WARM_BUDGET = 0    # -1 = derived (schulz_warm_iters); 0 = drift-only mode
 ROUTE = "segmented"
-SEGMENTS = NSTEPS  # L=1: per-step builds fused into the scan (see sweep)
+# 0 = the library's backend-aware auto rule (segmented._auto_segments):
+# on TPU f32 it picks the smallest segment length whose boundary states
+# fit QGD_SEG_STATE_BUDGET_GB — L=1 at this shape (the sweep's optimum;
+# per-step builds fuse into the flat scan). The bench intentionally
+# exercises the DEFAULT library path.
+SEGMENTS = 0
 REFINE_SWEEPS = 3  # QGD_REFINE_SWEEPS_F32 for warm 0 at dt=0.55 (see above)
 WORK_DTYPE = "float32"
 TPU_DEADLINE_S = 1500

@@ -65,7 +65,7 @@ from .ops.hermite import (
 )
 from .ops.linalg import schulz_inverse_auto, inverse_stage_solve
 from .forward import _make_preconditioner, _drift_stage_inverse
-from .segmented import (choose_segments, _segment_mode,
+from .segmented import (choose_segments, _auto_segments, _segment_mode,
                         _forward_segment_scan, _guard_quad,
                         _make_seg_table_cot, _segment_bwd_body)
 
@@ -352,7 +352,7 @@ def chunked_objective_and_gradient(prob, controls, pcof, target,
     target_real = jnp.asarray(host_realify_target(target))
 
     T = prob.nsteps
-    S = n_segments if n_segments > 0 else choose_segments(T)
+    S = n_segments if n_segments > 0 else _auto_segments(prob, T)
     if T % S:
         raise ValueError(f"n_segments={S} must divide nsteps={T}")
     L = T // S

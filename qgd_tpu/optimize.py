@@ -367,6 +367,14 @@ def optimize_gate_multistart(prob, controls, pcofs_init, target, *,
     lo = -jnp.inf if pcof_L is None else jnp.asarray(pcof_L)
     hi = jnp.inf if pcof_U is None else jnp.asarray(pcof_U)
 
+    # The routes size their memory/hoist decisions (forward hoist cap,
+    # segmented auto segment length) by ``prob.hoist_batch_hint`` — the
+    # vmap batch is known HERE, so set it rather than relying on callers.
+    if int(prob.hoist_batch_hint) < S:
+        import dataclasses
+
+        prob = dataclasses.replace(prob, hoist_batch_hint=S)
+
     # ``gradient_route="segmented"``: the O(sqrt T)-memory adjoint with
     # per-segment hoisting — REQUIRED at flagship horizons under a
     # scenario vmap (the plain path's O(S*T) hoisted stage tensors exceed

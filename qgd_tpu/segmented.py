@@ -38,6 +38,8 @@ from __future__ import annotations
 
 from functools import partial
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -83,6 +85,56 @@ def choose_segments(nsteps: int, target_len: int = 0) -> int:
         if cost < best_cost:
             best, best_cost = S, cost
     return best
+
+
+# Boundary-state memory budget for the TPU auto segment rule below (GB).
+# Resolved once at import (like the other QGD_* knobs).
+_SEG_STATE_BUDGET_GB = float(os.environ.get("QGD_SEG_STATE_BUDGET_GB", "4"))
+
+
+def _auto_segments(prob, nsteps: int) -> int:
+    """Backend-aware automatic segment count.
+
+    On TPU f32 the round-5 segment-length sweep showed runtime falls
+    MONOTONICALLY as segments shrink, all the way to L=1 (bench.py sweep:
+    L=50 105k -> L=1 292k steps/s at a 256-scenario batch): at L=1 the
+    per-step stage matrices are built inside the flat propagation scan and
+    fused with the solves instead of being staged through HBM as
+    ``(batch, L, n, n)`` hoists, and the inner/outer scan nesting
+    disappears. The cost is O(T) stored boundary states,
+    ``batch * (S+1) * n * cols * 4`` bytes — so pick the LARGEST segment
+    count (smallest L) whose boundary states fit the budget
+    (QGD_SEG_STATE_BUDGET_GB, default 4 GB; stage-residual guard and
+    route-invariance verified in the bench sweep). ``prob.hoist_batch_hint``
+    carries the vmap batch size, as for the forward hoist cap.
+
+    On CPU (and for f64 work dtypes) the sqrt heuristic stands — the L=1
+    effect is an XLA:TPU fusion/HBM phenomenon, and the CPU paths are the
+    f64 verification footing where O(sqrt T) memory is the point.
+    """
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        backend = "cpu"
+    if backend not in ("tpu", "axon") or prob.work_dtype != jnp.float32:
+        return choose_segments(nsteps)
+    n = prob.real_system_size
+    cols = max(prob.N_initial_conditions, 1)
+    batch = max(int(prob.hoist_batch_hint), 1)
+    per_state = batch * n * cols * 4
+    max_S = max(int(_SEG_STATE_BUDGET_GB * 2**30 / per_state) - 1, 1)
+    if max_S >= nsteps:
+        return nsteps                    # L = 1
+    S_sqrt = choose_segments(nsteps)
+    if S_sqrt > max_S:
+        # Budget tighter than even the sqrt choice (enormous batch*T):
+        # sqrt memory is the lesser evil — a smaller divisor would blow
+        # up the per-segment (batch, L, n, n) stage hoists instead.
+        return S_sqrt
+    for S in range(max_S, S_sqrt, -1):   # largest divisor within budget
+        if nsteps % S == 0:
+            return S
+    return S_sqrt
 
 
 def _segment_mode(prob) -> str | None:
@@ -319,7 +371,7 @@ def segmented_objective_and_gradient(prob, controls, pcof, target,
     target_real = _realify_target(prob, target)
 
     T = prob.nsteps
-    S = n_segments if n_segments > 0 else choose_segments(T)
+    S = n_segments if n_segments > 0 else _auto_segments(prob, T)
     if T % S:
         raise ValueError(f"n_segments={S} must divide nsteps={T}")
     L = T // S
@@ -488,7 +540,7 @@ def segmented_objective_value(prob, controls, pcof, target, order: int = 4,
     target_real = _realify_target(prob, target)
 
     T = prob.nsteps
-    S = n_segments if n_segments > 0 else choose_segments(T)
+    S = n_segments if n_segments > 0 else _auto_segments(prob, T)
     if T % S:
         raise ValueError(f"n_segments={S} must divide nsteps={T}")
     L = T // S
