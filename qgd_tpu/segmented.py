@@ -91,6 +91,13 @@ def choose_segments(nsteps: int, target_len: int = 0) -> int:
 # Resolved once at import (like the other QGD_* knobs).
 _SEG_STATE_BUDGET_GB = float(os.environ.get("QGD_SEG_STATE_BUDGET_GB", "4"))
 
+# Unroll factor for the segment scans (forward pass + backward pass).
+# MEASURED A REGRESSION on the axon TPU at the L=1 bench operating point
+# (unroll=4: 292.8k -> 247.9k steps/s — the serial solve chain, not loop
+# overhead, binds; the unrolled body just schedules worse), so the
+# default stays 1. Kept as a knob for other shapes. Resolved at import.
+_SEG_SCAN_UNROLL = int(os.environ.get("QGD_SEG_SCAN_UNROLL", "1"))
+
 
 def _auto_segments(prob, nsteps: int) -> int:
     """Backend-aware automatic segment count.
@@ -260,7 +267,7 @@ def _make_seg_table_cot(wprob, m: int, L: int):
 def _segment_bwd_body(wprob, m, dt, mode, precond, schulz_X0, schulz_X0T,
                       schulz_iters, guard_scale, W, w_rhs, w_lhs,
                       seg_table_cot, lam_b, snap, pl_, ql_, pr_, qr_,
-                      tau_k, first_scale):
+                      tau_k, first_scale, snap_next=None):
     """One segment of the backward pass — the body shared by
     ``segmented_objective_and_gradient`` and ``chunked._bwd_chunk``
     (per segment k spanning global steps a=kL .. b=kL+L):
@@ -277,11 +284,21 @@ def _segment_bwd_body(wprob, m, dt, mode, precond, schulz_X0, schulz_X0T,
     ``first_scale``: 0.0 at the globally-first segment (drops the
     ``lambda_0`` multiplier — the initial state is fixed), 1.0 elsewhere.
     Returns ``(lam at the segment's left edge, (cotP_seg, cotQ_seg))``.
+
+    ``snap_next``: at L=1 (the TPU f32 auto default, ``_auto_segments``)
+    the stored boundary states ARE the full trajectory, so step 1's
+    re-forward — a full extra propagation with stage solves — is
+    redundant; the caller passes the next boundary state and ``hist`` is
+    assembled directly (bit-identical: both states come from the same
+    forward pass).
     """
     wd = wprob.work_dtype
-    hist = _forward_segment_scan(wprob, m, dt, pl_, ql_, pr_, qr_,
-                                 snap, mode, precond=precond,
-                                 schulz_X0=schulz_X0)      # (L+1, 2N, B)
+    if snap_next is not None:
+        hist = jnp.stack([snap, snap_next], axis=0)        # L=1: (2, 2N, B)
+    else:
+        hist = _forward_segment_scan(wprob, m, dt, pl_, ql_, pr_, qr_,
+                                     snap, mode, precond=precond,
+                                     schulz_X0=schulz_X0)  # (L+1, 2N, B)
 
     # guard forcing at indices a..b-1 (f64 weights, work-dtype result)
     f_seg = (guard_scale * tau_k)[:, None, None] * jnp.einsum(
@@ -453,22 +470,33 @@ def segmented_objective_and_gradient(prob, controls, pcof, target,
     # ---------------- backward pass over segments ------------------------
     # Body shared with the chunked driver: _segment_bwd_body (re-forward,
     # lambda sweep, merged cotangents, per-segment table VJP).
+    # At L=1 the boundary states are the full trajectory: hand each
+    # segment its RIGHT state too and skip the redundant re-forward (one
+    # whole propagation's worth of stage solves) — see _segment_bwd_body.
+    if L == 1:
+        snap_next = jnp.concatenate([snapshots[1:], w_final[None]], axis=0)
+    else:
+        snap_next = None
+
     def bwd_body(lam_b, xs):
-        snap, pl_, ql_, pr_, qr_, tau_k, k_rev = xs
+        snap, snap_nx, pl_, ql_, pr_, qr_, tau_k, k_rev = xs
         # lam_0 := 0 (no multiplier for the fixed initial state) — drop it
         # on the globally-first segment
         first_scale = jnp.where(k_rev == S - 1, 0.0, 1.0)
         return _segment_bwd_body(
             wprob, m, dt, mode, precond, schulz_X0, schulz_X0T,
             prob.schulz_iters, guard_scale, W, w_rhs, w_lhs, seg_table_cot,
-            lam_b, snap, pl_, ql_, pr_, qr_, tau_k, first_scale)
+            lam_b, snap, pl_, ql_, pr_, qr_, tau_k, first_scale,
+            snap_next=(snap_nx if L == 1 else None))
 
     rev = lambda a: a[::-1]
     k_rev_idx = jnp.arange(S)          # position in the REVERSED scan
+    snap_nx_rev = (rev(snap_next) if snap_next is not None
+                   else jnp.zeros((S, 0, 0), dtype=snapshots.dtype))
     lam0, (cotP_rev, cotQ_rev) = jax.lax.scan(
         bwd_body, lam_T,
-        (rev(snapshots), rev(Pl), rev(Ql), rev(Pr), rev(Qr),
-         rev(tau_seg), k_rev_idx))
+        (rev(snapshots), snap_nx_rev, rev(Pl), rev(Ql), rev(Pr), rev(Qr),
+         rev(tau_seg), k_rev_idx), unroll=_SEG_SCAN_UNROLL)
 
     # terminal index T: only the LHS term survives (no step starts at T)
     cot_T = -w_lhs[:, None, None] * lam_T[None]
@@ -514,7 +542,7 @@ def _forward_objective_pass(prob, wprob, m, dt, dt64, tau, Pl, Ql, Pr, Qr,
     w0 = wprob.w0
     (w_final, guard_sum), snapshots = jax.lax.scan(
         fwd_body, (w0, jnp.zeros((), dtype=jnp.float64)),
-        (Pl, Ql, Pr, Qr, tau_seg))
+        (Pl, Ql, Pr, Qr, tau_seg), unroll=_SEG_SCAN_UNROLL)
 
     guard_sum = guard_sum + tau[-1] * _guard_quad(
         prob, w_final[None].astype(jnp.float64),
